@@ -1,0 +1,105 @@
+"""Exactly-once sink state: per-partition manifest with atomic commit.
+
+The engine's replacement for the reference's idempotence-based exactly-once
+(``INSERT OR REPLACE`` upsert, ``src/repositories/sqlite/base.py:152-175``)
+and its manual backup/restore checkpointing
+(``src/repositories/sqlite/base.py:81-136``):
+
+  * every merge task writes its partition's Parquet file to a temp name and
+    ``os.replace``-renames it into place (idempotent under Ray task retry —
+    a re-executed task rewrites identical bytes to the same final name);
+  * the driver commits ONE manifest JSON atomically (tmp + rename) after all
+    partitions succeed, recording per-partition lineage: file, row count,
+    order-independent content checksum, and the offset watermark;
+  * resume = load manifest, skip partitions already committed at the target
+    watermark, replay only events with ``seq > watermark`` for the rest.
+
+Replay from any checkpoint therefore reconverges to the identical final
+table state (verified by tests/test_resume.py).
+
+On a multi-node cluster ``out_dir`` lives on shared storage (S3/NFS); the
+rename-based commit maps onto the object store's atomic put.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionEntry:
+    file: str            # path relative to out_dir
+    rows: int
+    checksum: str        # uint64 content checksum as decimal string
+    watermark: int       # max seq merged into this partition file
+
+
+@dataclass
+class Manifest:
+    watermark: int = -1
+    schema_version: int = 1
+    num_partitions: int = 0
+    merge_mode: str = "replace"
+    partitions: dict[str, PartitionEntry] = field(default_factory=dict)  # str(part) → entry
+
+    def entry(self, part: int) -> PartitionEntry | None:
+        return self.partitions.get(str(part))
+
+    def files(self, out_dir: str) -> list[str]:
+        return [os.path.join(out_dir, e.file) for e in self.partitions.values() if e.rows > 0]
+
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def load_manifest(out_dir: str) -> Manifest | None:
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return None
+    raw = json.load(open(path))
+    parts = {k: PartitionEntry(**v) for k, v in raw.pop("partitions", {}).items()}
+    return Manifest(partitions=parts, **raw)
+
+
+def commit_manifest(out_dir: str, manifest: Manifest) -> None:
+    """Atomic all-or-nothing commit (tmp file + rename)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    tmp = path + ".tmp"
+    payload = asdict(manifest)
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def atomic_write_table(table, final_path: str) -> None:
+    """Write a Parquet file so it appears atomically at ``final_path``."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    tmp = final_path + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final_path)
+
+
+def gc_uncommitted(out_dir: str) -> list[str]:
+    """``compact``-style GC: drop partition files not referenced by the
+    committed manifest (orphans from crashed runs / superseded watermarks).
+    Reference analogue: ``drop_backup`` (src/repositories/sqlite/base.py:126-136).
+    """
+    m = load_manifest(out_dir)
+    keep = {os.path.abspath(p) for p in (m.files(out_dir) if m else [])}
+    removed = []
+    for dirpath, _dirs, names in os.walk(out_dir):
+        for n in names:
+            p = os.path.abspath(os.path.join(dirpath, n))
+            if n == MANIFEST_NAME or p in keep:
+                continue
+            if n.endswith(".parquet") or ".tmp." in n:
+                os.remove(p)
+                removed.append(p)
+    return removed

@@ -1,0 +1,53 @@
+"""Exactly-once sink state tests (state.manifest)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ethereum_etl_ray.state.manifest import (
+    Manifest,
+    PartitionEntry,
+    atomic_write_table,
+    commit_manifest,
+    gc_uncommitted,
+    load_manifest,
+)
+
+
+def test_manifest_roundtrip(tmp_path):
+    out = str(tmp_path)
+    m = Manifest(watermark=99, schema_version=2, num_partitions=4, merge_mode="replace",
+                 partitions={"0": PartitionEntry("part=00000/data-99.parquet", 10, "123", 99)})
+    commit_manifest(out, m)
+    got = load_manifest(out)
+    assert got == m
+    assert got.entry(0).rows == 10
+    assert got.entry(3) is None
+
+
+def test_load_missing_returns_none(tmp_path):
+    assert load_manifest(str(tmp_path)) is None
+
+
+def test_atomic_write_no_partial_file(tmp_path):
+    path = os.path.join(str(tmp_path), "nested", "f.parquet")
+    t = pa.table({"a": [1, 2, 3]})
+    atomic_write_table(t, path)
+    assert pq.read_table(path).equals(t)
+    # no temp leftovers
+    assert [n for n in os.listdir(os.path.dirname(path)) if ".tmp." in n] == []
+
+
+def test_gc_removes_orphans_keeps_committed(tmp_path):
+    out = str(tmp_path)
+    t = pa.table({"a": [1]})
+    atomic_write_table(t, os.path.join(out, "part=00000", "data-5.parquet"))
+    atomic_write_table(t, os.path.join(out, "part=00000", "data-3.parquet"))  # superseded
+    m = Manifest(watermark=5, partitions={
+        "0": PartitionEntry("part=00000/data-5.parquet", 1, "1", 5)})
+    commit_manifest(out, m)
+    removed = gc_uncommitted(out)
+    assert any("data-3" in r for r in removed)
+    assert os.path.exists(os.path.join(out, "part=00000", "data-5.parquet"))
+    assert not os.path.exists(os.path.join(out, "part=00000", "data-3.parquet"))

@@ -1,0 +1,118 @@
+"""Checkpoint/resume and crash-recovery tests.
+
+The reference's recovery story is operational (idempotent ``INSERT OR
+REPLACE`` + manual backup/restore, ``src/repositories/sqlite/base.py:81-136``);
+the engine makes it a first-class guarantee: replay from ANY committed
+watermark reconverges to the identical final state, and uncommitted partial
+output (crash before manifest commit) is invisible and garbage-collectable.
+"""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from ethereum_etl_ray.config import EngineConfig
+from ethereum_etl_ray.pipelines.replay import load_lake, replay
+from ethereum_etl_ray.state.manifest import gc_uncommitted, load_manifest
+
+
+def _texts(out_dir):
+    df = load_lake(out_dir).to_pandas()
+    return dict(zip(df.url, df.text))
+
+
+@pytest.fixture(scope="module")
+def oracle_texts(tiny_oracle):
+    return {u: o["text"] for u, o in tiny_oracle.items()}
+
+
+def test_two_stage_resume_equals_single_shot(tiny_corpus, tmp_path_factory, oracle_texts):
+    cfg = EngineConfig(num_partitions=8)
+    out = str(tmp_path_factory.mktemp("resume"))
+    mid = tiny_corpus.watermark // 2
+    r1 = replay(tiny_corpus, out, cfg, watermark=mid)
+    assert load_manifest(out).watermark == mid
+    r2 = replay(tiny_corpus, out, cfg)  # resume: only seq > mid replayed
+    assert r2.manifest.watermark == tiny_corpus.watermark
+    assert _texts(out) == oracle_texts
+
+
+def test_many_checkpoints_reconverge(tiny_corpus, tmp_path_factory, oracle_texts):
+    cfg = EngineConfig(num_partitions=5)
+    out = str(tmp_path_factory.mktemp("resume4"))
+    wm = tiny_corpus.watermark
+    for w in (wm // 4, wm // 2, (3 * wm) // 4, wm):
+        replay(tiny_corpus, out, cfg, watermark=w)
+    assert _texts(out) == oracle_texts
+
+
+def test_crash_before_commit_is_invisible(tiny_corpus, tmp_path_factory, oracle_texts):
+    """Simulate a crash after partition files were written but before the
+    manifest commit: the extra files must not be readable state, and a rerun
+    reconverges."""
+    cfg = EngineConfig(num_partitions=4)
+    out = str(tmp_path_factory.mktemp("crash"))
+    mid = tiny_corpus.watermark // 2
+    replay(tiny_corpus, out, cfg, watermark=mid)
+    manifest_path = os.path.join(out, "_manifest.json")
+    saved = open(manifest_path).read()
+
+    # full run, then roll the manifest back → "crashed before commit"
+    replay(tiny_corpus, out, cfg)
+    with open(manifest_path, "w") as f:
+        f.write(saved)
+
+    m = load_manifest(out)
+    assert m.watermark == mid
+    committed = {os.path.join(out, e.file) for e in m.partitions.values()}
+    all_parquet = set(glob.glob(os.path.join(out, "part=*", "*.parquet")))
+    orphans = all_parquet - committed
+    assert orphans, "crash simulation should leave uncommitted files"
+    # lake read sees only committed state
+    lake_files = {os.path.abspath(p) for p in load_lake(out).input_files()}
+    assert lake_files == {os.path.abspath(p) for p in committed if pq.read_metadata(p).num_rows > 0}
+
+    removed = gc_uncommitted(out)
+    assert set(removed) == {os.path.abspath(p) for p in orphans}
+
+    replay(tiny_corpus, out, cfg)  # resume after crash
+    assert _texts(out) == oracle_texts
+
+
+def test_fresh_vs_resumed_manifests_agree_per_partition(tiny_corpus, tmp_path_factory):
+    """Checksum lineage: a resumed run's final per-partition checksums equal a
+    fresh single-shot run's (content-addressed convergence)."""
+    cfg = EngineConfig(num_partitions=6)
+    a = str(tmp_path_factory.mktemp("a"))
+    b = str(tmp_path_factory.mktemp("b"))
+    replay(tiny_corpus, a, cfg)
+    mid = tiny_corpus.watermark // 3
+    replay(tiny_corpus, b, cfg, watermark=mid)
+    replay(tiny_corpus, b, cfg)
+    ma, mb = load_manifest(a), load_manifest(b)
+    assert {k: (v.rows, v.checksum) for k, v in ma.partitions.items()} == \
+           {k: (v.rows, v.checksum) for k, v in mb.partitions.items()}
+
+
+def test_ignore_mode_first_writer_wins_end_to_end(tiny_corpus, tmp_path_factory):
+    """INSERT OR IGNORE semantics end-to-end (reference
+    src/repositories/sqlite/base.py:159-172): with the snapshot disabled, every
+    url's surviving version is its MIN (warc_ts, seq) event."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from ethereum_etl_ray.state.oracle import sequential_replay
+
+    cfg = EngineConfig(num_partitions=4, merge_mode="ignore")
+    out = str(tmp_path_factory.mktemp("ignore"))
+    corpus_no_snap = type(tiny_corpus)(**{**tiny_corpus.__dict__, "snapshot_dir": ""})
+    replay(corpus_no_snap, out, cfg)
+    events = [pq.read_table(f) for d in tiny_corpus.event_dirs
+              for f in sorted(g.glob(d + "/*.parquet"))]
+    oracle = sequential_replay(events, None, mode="ignore")
+    got = _texts(out)
+    assert got == {u: o["text"] for u, o in oracle.items()}
