@@ -1,0 +1,130 @@
+"""Benchmark harness (driver contract).
+
+Runs the flagship CDC replay over a change log synthesized from
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1, ~1M events at 200
+events/doc) plus a set of headline operator pipelines, and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <headline replay sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "events": N, "events_per_sec": N}
+
+``--scaling`` re-runs the identical headline job in fresh processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-cache-warmed)
+input and reports both throughputs plus scaling efficiency — the sandbox
+evidence for the north_rule's N→4N criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EVENTS_PER_DOC = float(os.environ.get("BENCH_EVENTS_PER_DOC", "200"))
+
+
+def _headline(corpus) -> tuple[float, int]:
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.replay import replay
+
+    out = f"/tmp/bench_lake_{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    replay(corpus, out, EngineConfig(num_partitions=max(32, NUM_CPUS * 2)))
+    dt = time.perf_counter() - t0
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n_events = sum(pq.read_metadata(f).num_rows
+                   for d in corpus.event_dirs for f in glob.glob(d + "/*.parquet"))
+    return dt, n_events
+
+
+def _bench_queries() -> dict[str, float]:
+    from ethereum_etl_ray.pipelines import queries as q
+
+    out = {}
+    for name in ["lww_latest_by_key", "groupby_agg_pushdown", "window_hourly",
+                 "broadcast_join_brand_rev", "exact_dedup_docs", "minhash_lsh_pairs",
+                 "embedding_topk", "quality_docs"]:
+        t0 = time.perf_counter()
+        res = q.QUERIES[name](SF_DIR)
+        # consume lazily-built Datasets fully
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once(include_queries: bool) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(SF_DIR, events_per_doc=EVENTS_PER_DOC)
+    # flush generation writes, then warm the OS page cache so we measure
+    # compute+shuffle, not first-run disk I/O contention
+    os.sync()
+    for d in corpus.event_dirs:
+        for f in os.listdir(d):
+            with open(os.path.join(d, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    sec, n_events = _headline(corpus)
+    result = {
+        "metric": "cdc_replay_seconds",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "events_per_sec": round(n_events / sec, 1),
+        "queries": _bench_queries() if include_queries else {},
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    # pre-generate the corpus once so both levels read identical warmed input
+    env_base = dict(os.environ, GRAFT_SF_DIR=SF_DIR,
+                    BENCH_EVENTS_PER_DOC=str(EVENTS_PER_DOC))
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__, "--no-queries"], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tput8 = results[8]["events_per_sec"]
+    tput32 = results[32]["events_per_sec"]
+    eff = (tput32 / tput8) / (32 / 8)
+    return {
+        "metric": "scaling_8_to_32_cpus",
+        "sec_8": results[8]["value"],
+        "sec_32": results[32]["value"],
+        "events_per_sec_8": tput8,
+        "events_per_sec_32": tput32,
+        "scaling_efficiency": round(eff, 3),
+        "events": results[32]["events"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once(include_queries="--no-queries" not in sys.argv)))

@@ -1,0 +1,143 @@
+"""Engine admin CLI — the reference's scripts/* and clis/* re-expressed.
+
+    python -m ethereum_etl_ray.cli init     --sf-dir ... [--events-per-doc N]
+    python -m ethereum_etl_ray.cli replay   --sf-dir ... --out DIR [--watermark N]
+    python -m ethereum_etl_ray.cli tail     --sf-dir ... --out DIR --window N
+    python -m ethereum_etl_ray.cli inspect  --out DIR
+    python -m ethereum_etl_ray.cli compact  --out DIR
+
+Reference analogues: historical backfill (``src/clis/historical.py``),
+realtime tailer (``src/clis/realtime_ws.py``), table admin
+(``scripts/sqlite/create_table.py``), ``inspect``
+(``src/repositories/sqlite/base.py:26-52``), backup GC
+(``src/repositories/sqlite/base.py:126-136``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_init(args):
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    c = ensure_corpus(args.sf_dir, events_per_doc=args.events_per_doc)
+    print(json.dumps({"root": c.root, "n_docs": c.n_docs, "n_events": c.n_events,
+                      "watermark": c.watermark, "v2_start_seq": c.v2_start_seq}))
+
+
+def cmd_replay(args):
+    _ray_up(args.num_cpus)
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.replay import replay
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(args.sf_dir, events_per_doc=args.events_per_doc)
+    cfg = EngineConfig(num_partitions=args.partitions, merge_mode=args.mode)
+    res = replay(corpus, args.out, cfg, watermark=args.watermark)
+    print(json.dumps({"out": args.out, "watermark": res.manifest.watermark,
+                      "merged_partitions": res.merged_partitions,
+                      "skipped_partitions": res.skipped_partitions}))
+
+
+def cmd_tail(args):
+    """Bounded tailing: repeated replays advancing the watermark by --window
+    (the batch-engine analogue of the reference's WS newHeads loop)."""
+    _ray_up(args.num_cpus)
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.replay import replay
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+    from ethereum_etl_ray.state.manifest import load_manifest
+
+    corpus = ensure_corpus(args.sf_dir, events_per_doc=args.events_per_doc)
+    cfg = EngineConfig(num_partitions=args.partitions, merge_mode=args.mode)
+    prior = load_manifest(args.out)
+    wm = prior.watermark if prior else -1
+    rounds = 0
+    while wm < corpus.watermark:
+        wm = min(wm + args.window, corpus.watermark)
+        res = replay(corpus, args.out, cfg, watermark=wm)
+        rounds += 1
+        print(json.dumps({"round": rounds, "watermark": wm,
+                          "merged_partitions": res.merged_partitions}), file=sys.stderr)
+    print(json.dumps({"out": args.out, "rounds": rounds, "watermark": wm}))
+
+
+def cmd_inspect(args):
+    _ray_up(args.num_cpus)
+    from ethereum_etl_ray.pipelines.replay import load_lake
+    from ethereum_etl_ray.state.manifest import load_manifest
+
+    m = load_manifest(args.out)
+    if m is None:
+        print(json.dumps({"error": f"no committed manifest in {args.out}"}))
+        sys.exit(1)
+    lake = load_lake(args.out)
+    total = sum(e.rows for e in m.partitions.values())
+    print(json.dumps({
+        "watermark": m.watermark,
+        "schema_version": m.schema_version,
+        "merge_mode": m.merge_mode,
+        "partitions": len(m.partitions),
+        "rows": total,
+        "schema": {f: str(lake.schema().base_schema.field(f).type)
+                   for f in lake.schema().names},
+        "sample": [{k: (v if not isinstance(v, bytes) else f"<{len(v)}B>")
+                    for k, v in row.items()} for row in lake.take(3)],
+    }, default=str))
+
+
+def cmd_compact(args):
+    from ethereum_etl_ray.state.manifest import gc_uncommitted
+
+    removed = gc_uncommitted(args.out)
+    print(json.dumps({"removed": len(removed)}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ethereum_etl_ray")
+    p.add_argument("--num-cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init", help="generate/refresh the synthetic change-log corpus")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--events-per-doc", type=float, default=20.0)
+    sp.set_defaults(fn=cmd_init)
+
+    for name, fn in [("replay", cmd_replay), ("tail", cmd_tail)]:
+        sp = sub.add_parser(name)
+        sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        sp.add_argument("--events-per-doc", type=float, default=20.0)
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--partitions", type=int, default=32)
+        sp.add_argument("--mode", choices=["replace", "ignore"], default="replace")
+        if name == "replay":
+            sp.add_argument("--watermark", type=int, default=None)
+        else:
+            sp.add_argument("--window", type=int, default=2000)
+        sp.set_defaults(fn=fn)
+
+    for name, fn in [("inspect", cmd_inspect), ("compact", cmd_compact)]:
+        sp = sub.add_parser(name)
+        sp.add_argument("--out", required=True)
+        sp.set_defaults(fn=fn)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,7 @@ class EngineConfig:
     """
 
     num_partitions: int = 64
-    batch_size_rows: int = 8192
+    batch_size_rows: int = 16384
     # LWW ("replace", reference INSERT OR REPLACE) vs first-writer-wins
     # ("ignore", reference INSERT OR IGNORE, src/repositories/sqlite/base.py:159-172)
     merge_mode: str = "replace"

@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+The webtext counterparts of the reference's per-row extract projections
+(``src/tasks/extract/*.py``): deterministic, vectorized per-batch transforms
+over the ``documents`` corpus — language-ID, quality scoring, token counting,
+fingerprinting.
+
+Parity discipline: every operator that is paired with a DuckDB oracle uses
+ONLY arithmetic whose result is bit-identical across engines —
+  * token counts via the separator-count formula (no tokenizer ambiguity),
+  * ratios in integer micro-units with floor division (never float ``round``,
+    whose half-even vs half-away behavior differs between numpy and SQL),
+  * fingerprints via md5 (same digest everywhere).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# language marker words (heuristic n-gram/keyword scoring; the corpus here is
+# synthetic word-soup, so this demonstrates the *operator* — deterministic
+# scoring + argmax with a stable tie-break — with a small marker table; real
+# deployments plug in real per-language tables)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "die"],
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "que"],
+    "fr": ["le", "et", "les"],
+    "zh": ["he", "shi", "de0"],
+}
+STOPWORDS = ["the", "a", "of"]
+
+
+def _occurrences(padded: pa.ChunkedArray | pa.Array, word: str):
+    """# occurrences of ``word`` as a space-delimited token (int64)."""
+    return pc.cast(pc.count_substring(padded, pattern=f" {word} "), pa.int64())
+
+
+def _padded(text):
+    return pc.binary_join_element_wise(" ", text, " ", "")
+
+
+def token_count(text) -> pa.Array | pa.ChunkedArray:
+    """n_tokens = (# separators) + 1 — exact parity with the SQL formula
+    ``length(text) - length(replace(text, ' ', '')) + 1``."""
+    return pc.add(pc.cast(pc.count_substring(text, pattern=" "), pa.int64()), 1)
+
+
+def lang_scores_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds ``score_<lang>`` (marker-occurrence counts) and ``predicted_lang``
+    (argmax, ties → alphabetically-first language)."""
+    text = batch.column(text_col)
+    padded = _padded(text)
+    langs = sorted(LANG_MARKERS)
+    scores = []
+    for lang in langs:
+        s = None
+        for w in LANG_MARKERS[lang]:
+            occ = _occurrences(padded, w)
+            s = occ if s is None else pc.add(s, occ)
+        scores.append(s)
+        batch = batch.append_column(f"score_{lang}", s)
+    mat = np.vstack([
+        (s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s).to_numpy()
+        for s in scores
+    ])
+    # argmax returns the first (alphabetically-lowest) max index → stable tie-break
+    pred = np.array(langs, dtype=object)[np.argmax(mat, axis=0)]
+    return batch.append_column("predicted_lang", pa.array(pred, pa.string()))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer micro-unit quality features + composite score.
+
+    stop_ppm  = stopword-token share in parts-per-million (floor)
+    mtl_c     = mean token length in centi-chars (floor)
+    quality_ppm = LEAST(n_tok,100)*10000 - stop_ppm//2 + mtl_c*10
+    """
+    text = batch.column(text_col)
+    padded = _padded(text)
+    n_tok = token_count(text)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    stop_hits = None
+    for w in STOPWORDS:
+        occ = _occurrences(padded, w)
+        stop_hits = occ if stop_hits is None else pc.add(stop_hits, occ)
+    nt = (n_tok.combine_chunks() if isinstance(n_tok, pa.ChunkedArray) else n_tok).to_numpy()
+    nc = (n_chars.combine_chunks() if isinstance(n_chars, pa.ChunkedArray) else n_chars).to_numpy()
+    sh = (stop_hits.combine_chunks() if isinstance(stop_hits, pa.ChunkedArray) else stop_hits).to_numpy()
+    stop_ppm = (sh * 1_000_000) // nt
+    mtl_c = ((nc - (nt - 1)) * 100) // nt
+    quality_ppm = np.minimum(nt, 100) * 10_000 - stop_ppm // 2 + mtl_c * 10
+    for name, arr in [("n_tokens", nt), ("n_chars_txt", nc), ("stop_ppm", stop_ppm),
+                      ("mtl_c", mtl_c), ("quality_ppm", quality_ppm)]:
+        batch = batch.append_column(name, pa.array(arr, pa.int64()))
+    return batch
+
+
+def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                          out_col: str = "fingerprint") -> pa.Table:
+    """md5 hex fingerprint per document (matches SQL ``md5(text)``).
+
+    The digest loop is C-dominated (hashlib); at 100 TB this stage is
+    bandwidth-bound, not Python-bound."""
+    text = batch.column(text_col).combine_chunks()
+    fp = [hashlib.md5(t.encode()).hexdigest() if t is not None else None
+          for t in text.to_pylist()]
+    return batch.append_column(out_col, pa.array(fp, pa.string()))
+
+
+def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                              window: int = 16, out_col: str = "winnow_fp") -> pa.Table:
+    """Winnowing-style document fingerprint: min-of-window over a polynomial
+    rolling hash of the byte stream, xor-folded. Not SQL-expressible
+    (rows-only driver check); tested against planted duplicates."""
+    from ethereum_etl_ray.functions.hashing import hash64
+
+    text = batch.column(text_col).combine_chunks()
+    # batch-level vectorization: one hash64 call over all tokens of the batch,
+    # then per-doc sliding-window mins via offsets (no per-token Python loop)
+    toks = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    h = hash64(flat) if len(flat) else np.array([], dtype=np.uint64)
+    out = np.empty(len(text), dtype=np.uint64)
+    pos = 0
+    for i, ln in enumerate(lens):
+        if ln is None or ln == 0:
+            out[i] = 0
+            continue
+        hd = h[pos:pos + ln]
+        pos += ln
+        mins = (np.lib.stride_tricks.sliding_window_view(hd, window).min(axis=1)
+                if len(hd) >= window else hd)
+        out[i] = np.bitwise_xor.reduce(mins)
+    return batch.append_column(out_col, pa.array(out.view(np.int64), pa.int64()))

@@ -1,0 +1,190 @@
+"""Distributed deduplication pipelines over a document corpus.
+
+Compositions of the primitives in ``functions.dedup`` following the guide's
+shuffle-conscious patterns:
+
+  exact_dedup        content-hash in map_batches → groupby(hash) →
+                     first-per-group (verify exact text inside the group —
+                     hash collisions cannot produce false drops)
+  minhash_lsh_pairs  signatures per batch → explode (band, band_hash, doc)
+                     rows → groupby bands → candidate pairs → exact word-ngram
+                     Jaccard verify
+  simhash_pairs      64-bit signature → 4×16-bit band blocking → Hamming ≤ k
+  embedding_pairs    near-dup by cosine ≥ τ (reuses stages.ann brute force)
+
+The reference's only dedup is ``list(set(...))`` distinct (A1-A3,
+``src/tasks/extract/account.py:7-27``) — these are the webtext-scale
+generalizations the north_rule asks for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ethereum_etl_ray.functions.dedup import (
+    jaccard,
+    lsh_band_hashes,
+    minhash_signatures,
+    simhash_signatures,
+    tokenize_column,
+    word_ngram_hashes,
+)
+from ethereum_etl_ray.functions.hashing import hash64
+
+
+def exact_dedup(ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id",
+                keep_cols: list[str] | None = None) -> ray.data.Dataset:
+    """Keep the min-``id_col`` row per distinct ``text_col`` value."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(text_col)).view(np.int64)
+        return batch.append_column("__h", pa.array(h, pa.int64()))
+
+    def first_per_text(group: pd.DataFrame) -> pd.DataFrame:
+        # within one hash bucket, dedupe by exact text (collision-safe)
+        group = group.sort_values(id_col)
+        return group.drop_duplicates(subset=[text_col], keep="first")
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__h")
+        .map_groups(first_per_text, batch_format="pandas")
+    )
+    if keep_cols:
+        out = out.select_columns(keep_cols)
+    return out
+
+
+def _signature_stage(num_perm: int, bands: int, ngram: int,
+                     id_col: str, text_col: str):
+    def stage(batch: pa.Table) -> pa.Table:
+        tok_h, lens = tokenize_column(batch.column(text_col))
+        sh, counts = word_ngram_hashes(tok_h, lens, n=ngram)
+        sigs = minhash_signatures(sh, counts, num_perm=num_perm)
+        bh = lsh_band_hashes(sigs, bands=bands)  # (n_docs, bands)
+        n = batch.num_rows
+        return pa.table({
+            id_col: pa.array(np.repeat(batch.column(id_col).to_numpy(), bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
+        })
+    return stage
+
+
+def _pairs_from_groups(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    ids = np.unique(group[id_col].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+    a, b = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+
+def minhash_candidate_pairs(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                            text_col: str = "text", num_perm: int = 128,
+                            bands: int = 16, ngram: int = 3) -> pd.DataFrame:
+    """LSH candidate pairs (deduplicated). Small output by construction."""
+    banded = ds.map_batches(_signature_stage(num_perm, bands, ngram, id_col, text_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    pairs = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(lambda g: _pairs_from_groups(g, id_col), batch_format="pandas")
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64)})
+    return pairs.drop_duplicates().reset_index(drop=True)
+
+
+def _texts_for(ds: ray.data.Dataset, doc_ids: set[int], id_col: str, text_col: str
+               ) -> dict[int, str]:
+    from ethereum_etl_ray.stages.joins import semi_anti_filter
+
+    sub = semi_anti_filter(ds.select_columns([id_col, text_col]),
+                           np.fromiter(doc_ids, dtype=np.int64), on=id_col)
+    df = sub.to_pandas()  # candidate set: output-sized, small
+    return dict(zip(df[id_col], df[text_col]))
+
+
+def _ngram_sets(text: str, n: int) -> set:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return {tuple(toks)}
+    return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
+                         threshold: float = 0.7, ngram: int = 3,
+                         id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """Exact word-ngram Jaccard over candidate pairs; keeps ≥ threshold."""
+    if pairs.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "jaccard_ppm": pd.Series(dtype=np.int64)})
+    texts = _texts_for(ds, set(pairs.doc_a) | set(pairs.doc_b), id_col, text_col)
+    rows = []
+    cache: dict[int, set] = {}
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        sa = cache.setdefault(a, _ngram_sets(texts[a], ngram))
+        sb = cache.setdefault(b, _ngram_sets(texts[b], ngram))
+        j = jaccard(sa, sb)
+        if j >= threshold:
+            rows.append((int(a), int(b), int(j * 1_000_000)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_ppm"]).astype(np.int64) \
+        if rows else pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                   "doc_b": pd.Series(dtype=np.int64),
+                                   "jaccard_ppm": pd.Series(dtype=np.int64)})
+
+
+def minhash_lsh_dedup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.7,
+                            num_perm: int = 128, bands: int = 16, ngram: int = 3,
+                            id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    cands = minhash_candidate_pairs(ds, id_col=id_col, text_col=text_col,
+                                    num_perm=num_perm, bands=bands, ngram=ngram)
+    out = verify_jaccard_pairs(ds, cands, threshold=threshold, ngram=ngram,
+                               id_col=id_col, text_col=text_col)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """Near-dup pairs by SimHash: 4×16-bit band blocking then Hamming verify."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        tok_h, lens = tokenize_column(batch.column(text_col))
+        sig = simhash_signatures(tok_h, lens)
+        n = batch.num_rows
+        bands = np.stack([(sig >> np.uint64(s)) & np.uint64(0xFFFF)
+                          for s in (0, 16, 32, 48)], axis=1)
+        return pa.table({
+            id_col: pa.array(np.repeat(batch.column(id_col).to_numpy(), 4), pa.int64()),
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array(bands.ravel().view(np.int64), pa.int64()),
+            "sig": pa.array(np.repeat(sig.view(np.int64), 4), pa.int64()),
+        })
+
+    banded = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = g["sig"].to_numpy().view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}, dtype=np.int64)
+        a, b = np.triu_indices(len(ids), k=1)
+        x = np.bitwise_xor(sigs[a], sigs[b])
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
+                             "hamming": ham[keep]})
+
+    out = (banded.groupby(["band", "band_hash"])
+           .map_groups(pairs, batch_format="pandas")).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "hamming": pd.Series(dtype=np.int64)})
+    return (out.drop_duplicates(subset=["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

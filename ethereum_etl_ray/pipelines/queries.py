@@ -1,0 +1,832 @@
+"""Operator inventory as driver-checkable queries (SURVEY §2 line-by-line).
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a Dataset / pandas
+DataFrame / Arrow table; ``QUERIES`` maps names → callables and ``ORACLE_SQL``
+maps the SQL-expressible subset to DuckDB oracles over the same parquet views
+(driver contract, ``__ray_entry__.py``). CDC/replay and sketch/LSH operators
+that SQL cannot express are rows-only checked by the driver but are covered
+by their own oracles in ``tests/``.
+
+Float-parity discipline (driver value-hash): no float ``round`` (half-even vs
+half-away divergence); money/value sums use ``floor(x*100 + 0.5)`` cents in
+BOTH engines; single-expression float arithmetic (products, negation) is
+bit-identical across engines and passed through raw.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+from ethereum_etl_ray.stages.merge import lww_merge_dataset
+from ethereum_etl_ray.util import pool_size
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """floor(x*100 + 0.5) as int64 — exact parity with the SQL twin."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+# --------------------------------------------------------------------------
+# CDC merge-core operators on the driver's `events` table (A5/A6/X2 analogues)
+# --------------------------------------------------------------------------
+
+
+def q_lww_latest_by_key(sf_dir: str):
+    """INSERT OR REPLACE / ReplacingMergeTree LWW: latest event per user_id,
+    version = (ts, event_id). Reference: src/repositories/sqlite/base.py:159-172,
+    src/repositories/clickhouse/event.py:76-78."""
+    ds = _read(sf_dir, "events", _EVENT_COLS)
+    return lww_merge_dataset(ds, key="user_id", version=("ts", "event_id"))
+
+
+def q_fww_first_by_key(sf_dir: str):
+    """INSERT OR IGNORE: first event per user_id (min version)."""
+    ds = _read(sf_dir, "events", _EVENT_COLS)
+    return lww_merge_dataset(ds, key="user_id", version=("ts", "event_id"), mode="ignore")
+
+
+def q_tombstone_merge(sf_dir: str):
+    """LWW merge + tombstone dispatch: users whose LATEST event is an 'error'
+    are dropped (delete-op semantics of the CDC apply stage)."""
+    ds = _read(sf_dir, "events", _EVENT_COLS)
+    merged = lww_merge_dataset(ds, key="user_id", version=("ts", "event_id"))
+    return merged.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("event_type"), pa.scalar("error"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_retention_evict(sf_dir: str):
+    """A8 `free_space` analogue: keep the newest 90% of events by (ts,
+    event_id). Reference: src/repositories/sqlite/base.py:210-227."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n = ds.count()
+    keep = int(np.floor(0.9 * n))
+    return ds.sort(["ts", "event_id"], descending=[True, True]).limit(keep)
+
+
+# --------------------------------------------------------------------------
+# extract-stage projections / explodes / filters (E1-E12)
+# --------------------------------------------------------------------------
+
+
+def q_projection_revenue(sf_dir: str):
+    """E1-style 1:1 projection with derived + renamed columns."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def project(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = _cents(price * (1.0 - disc) * 1.0)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "revenue_c100": pa.array(rev, pa.int64()),
+            "ship_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_explode_tokens(sf_dir: str):
+    """E2/E5 flat_map: one row per token with the parent key stamped on
+    (reference explode pattern, src/tasks/extract/transaction.py:5-39)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks)
+        parents = pc.take(t.column("doc_id"), pc.list_parent_indices(toks))
+        return pa.table({"doc_id": parents, "token": flat})
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_filter_dispatch(sf_dir: str):
+    """E6/E7 filter + type-dispatch decode: keep two event types, compute a
+    per-type signed value (op-dispatch like topic0 dispatch,
+    src/tasks/extract/uniswap_v2_event.py:20-32)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def dispatch(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["purchase", "signup"]))
+        t = t.filter(keep)
+        signed = pc.if_else(pc.equal(t.column("event_type"), pa.scalar("purchase")),
+                            t.column("value"), pc.negate(t.column("value")))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "signed_value": signed,
+        })
+
+    return ds.map_batches(dispatch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_hex_roundtrip(sf_dir: str):
+    """E12 scalar utils: hex encode/decode roundtrip (reference hex_to_dec,
+    src/utils/common.py:17-21)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def conv(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        hexs = [format(int(x), "x") for x in ids]
+        decoded = np.array([int(h, 16) for h in hexs], dtype=np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "hex_repr": pa.array(hexs, pa.string()),
+            "decoded": pa.array(decoded, pa.int64()),
+        })
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# distinct / dedup / aggregation (A1-A8)
+# --------------------------------------------------------------------------
+
+
+def q_distinct_union_keys(sf_dir: str):
+    """A3 union-distinct over two key sources (token0 ∪ token1 pattern,
+    src/tasks/extract/token.py:10-17)."""
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table({"key_id": pc.cast(t.column("user_id"), pa.int64())}),
+        batch_format="pyarrow")
+    od = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: pa.table({"key_id": pc.cast(t.column("o_custkey"), pa.int64())}),
+        batch_format="pyarrow")
+    return ev.union(od).groupby("key_id").count().select_columns(["key_id"])
+
+
+def q_anti_join_users(sf_dir: str):
+    """A1 anti-join heuristic (addresses excluded if seen as contract,
+    src/tasks/extract/account.py:20-21): customers with no event activity —
+    broadcast key-set membership filter (Bloom-filter shape)."""
+    from ethereum_etl_ray.stages.joins import semi_anti_filter
+
+    active = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return semi_anti_filter(cust, active, on="c_custkey", anti=True)
+
+
+def q_derived_counts(sf_dir: str):
+    """A4 per-row derived counts (transaction_count / log_count pattern)."""
+    from ethereum_etl_ray.functions.textstats import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": token_count(t.column("text")),
+            "n_chars_calc": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_ALL_TABLES = ["customer", "documents", "embeddings", "events", "lineitem",
+               "nation", "orders", "part", "region", "supplier"]
+
+
+def q_table_counts(sf_dir: str):
+    """A7 count() per entity table (src/repositories/sqlite/base.py:205-208)."""
+    rows = [{"table_name": t, "n": _read(sf_dir, t).count()} for t in _ALL_TABLES]
+    return pd.DataFrame(rows)
+
+
+def q_groupby_agg_pushdown(sf_dir: str):
+    """Grouped aggregation with per-batch partial pre-aggregation (combiner
+    before the shuffle — the guide's aggregation-at-scale pattern)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pandas(),
+            "l_linestatus": t.column("l_linestatus").to_pandas(),
+            "n_rows": 1,
+            "sum_qty": t.column("l_quantity").to_numpy().astype(np.int64),
+            "sum_price_c100": _cents(t.column("l_extendedprice").to_numpy()),
+            "sum_disc_price_c100": _cents(
+                t.column("l_extendedprice").to_numpy()
+                * (1.0 - t.column("l_discount").to_numpy()) * 1.0),
+        })
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_price_c100", alias_name="sum_price_c100"),
+                   Sum("sum_disc_price_c100", alias_name="sum_disc_price_c100"))
+    )
+
+
+def q_heavy_hitter_users(sf_dir: str):
+    """Key-frequency heavy hitters (skew-detection operator; exact
+    partial-count path of stages.sketch)."""
+    from ethereum_etl_ray.stages.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    df = heavy_hitters(ds, "user_id", top_k=20)
+    return df[["user_id", "n"]]
+
+
+# --------------------------------------------------------------------------
+# joins (J1-J7)
+# --------------------------------------------------------------------------
+
+
+def q_broadcast_join_brand_rev(sf_dir: str):
+    """J1-J4 broadcast/dimension join: part shipped once via ray.put, lookup
+    per batch, partial sums, tiny final groupby."""
+    import ray as _ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    ref = _ray.put(part.set_index("p_partkey")["p_brand"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    class JoinPartial:
+        def __init__(self):
+            self.brand = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            brands = self.brand.reindex(t.column("l_partkey").to_numpy()).to_numpy()
+            rev = _cents(t.column("l_extendedprice").to_numpy()
+                         * (1.0 - t.column("l_discount").to_numpy()) * 1.0)
+            df = pd.DataFrame({"p_brand": brands, "n_items": 1, "rev_c100": rev})
+            agg = df.groupby("p_brand", as_index=False).sum()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        li.map_batches(JoinPartial, batch_format="pyarrow",
+                       concurrency=pool_size(4), zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("rev_c100", alias_name="rev_c100"))
+    )
+
+
+def q_hash_join_segment_status(sf_dir: str):
+    """Large-large equi-join via the hash-shuffle Dataset.join, then grouped
+    aggregate."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    import ray as _ray
+
+    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = orders.join(cust, join_type="inner", num_partitions=n_parts,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_mktsegment": t.column("c_mktsegment").to_pandas(),
+            "o_orderstatus": t.column("o_orderstatus").to_pandas(),
+            "n_orders": 1,
+            "total_c100": _cents(t.column("o_totalprice").to_numpy()),
+        })
+        agg = df.groupby(["c_mktsegment", "o_orderstatus"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["c_mktsegment", "o_orderstatus"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_c100", alias_name="total_c100"))
+    )
+
+
+def q_asof_join_orders(sf_dir: str):
+    """As-of (backward) join: each event matched to the customer's latest
+    order at event time (broadcast + merge_asof per batch)."""
+    from ethereum_etl_ray.stages.joins import broadcast_asof
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]).to_pandas()
+    # dedupe ties: one orderkey (max) per (custkey, orderdate)
+    orders = (orders.groupby(["o_custkey", "o_orderdate"], as_index=False)
+              .agg(o_orderkey=("o_orderkey", "max")))
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = broadcast_asof(ev, orders, left_ts="ts", right_ts="o_orderdate",
+                         left_by="user_id", right_by="o_custkey")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "o_orderkey"]].astype(
+            {"o_orderkey": np.int64}),
+        batch_format="pandas")
+
+
+def q_topk_orders(sf_dir: str):
+    """Global top-k by sort+limit (absent in the reference, SURVEY §2.8)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(15)
+
+
+def q_window_hourly(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped workload per the guide):
+    events per (user, hour), value summed in cents."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_pandas(),
+            "hour_bucket": ts_us // 3_600_000_000,
+            "n_events": 1,
+            "value_c100": _cents(t.column("value").to_numpy()),
+        })
+        agg = df.groupby(["user_id", "hour_bucket"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value_c100", alias_name="value_c100"))
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data operators: dedup / text analysis / ANN / multimodal
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    from ethereum_etl_ray.pipelines.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    return exact_dedup(ds, keep_cols=["doc_id", "lang", "n_chars"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from ethereum_etl_ray.functions.textstats import md5_fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(md5_fingerprint_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(["doc_id", "fingerprint"])
+
+
+def q_lang_id_docs(sf_dir: str):
+    from ethereum_etl_ray.functions.textstats import lang_scores_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(lang_scores_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "score_de", "score_en", "score_es",
+                               "score_fr", "score_zh", "predicted_lang"])
+
+
+def q_quality_docs(sf_dir: str):
+    from ethereum_etl_ray.functions.textstats import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_tokens", "n_chars_txt", "stop_ppm",
+                               "mtl_c", "quality_ppm"])
+
+
+def q_winnow_fingerprint(sf_dir: str):
+    from ethereum_etl_ray.functions.textstats import rolling_fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(rolling_fingerprint_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(["doc_id", "winnow_fp"])
+
+
+_N_QUERIES = 8
+_TOPK = 5
+
+
+def _query_vectors(sf_dir: str):
+    q = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+    qdf = q.filter(expr=f"vec_id < {_N_QUERIES}").to_pandas().sort_values("vec_id")
+    return qdf.vec_id.to_numpy(), np.stack(qdf.embedding.to_numpy()).astype(np.float64)
+
+
+def q_embedding_topk(sf_dir: str):
+    from ethereum_etl_ray.stages.ann import brute_force_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, ids, mat, k=_TOPK)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF variant probing ALL buckets → exact, shares the brute-force oracle."""
+    from ethereum_etl_ray.stages.ann import ivf_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, ids, mat, k=_TOPK, n_centroids=8, nprobe=None)
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    from ethereum_etl_ray.pipelines.dedup import minhash_lsh_dedup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup_pairs(ds, threshold=0.7)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ethereum_etl_ray.pipelines.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard over LSH candidates at a lower threshold."""
+    from ethereum_etl_ray.pipelines.dedup import (
+        minhash_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_candidate_pairs(ds, bands=32, num_perm=128)
+    out = verify_jaccard_pairs(ds, cands, threshold=0.4, ngram=2)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Binary-payload decode stage (stub codec, real plumbing)."""
+    from ethereum_etl_ray.stages.multimodal import decode_blobs, make_blob_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    blobs = ds.map_batches(make_blob_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return decode_blobs(blobs)
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Approximate heavy hitters via mergeable count-min sketch (scale path)."""
+    from ethereum_etl_ray.stages.sketch import sketch_heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    df = sketch_heavy_hitters(ds, "user_id", sample_fraction=1.0)
+    return df.head(10)
+
+
+def q_random_sample(sf_dir: str):
+    """Seeded sampling operator (absent in reference, SURVEY §2.8)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    return ds.random_sample(0.1, seed=7)
+
+
+# --------------------------------------------------------------------------
+# CDC flagship pipelines (non-SQL-expressible; oracled in tests/)
+# --------------------------------------------------------------------------
+
+
+def _cdc_out_dir(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import shutil
+
+    key = hashlib.sha1(f"{sf_dir}:{tag}".encode()).hexdigest()[:12]
+    out = f"/tmp/webcdc_lakes/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
+def _lake_result(out_dir: str):
+    from ethereum_etl_ray.pipelines.replay import load_lake
+
+    return load_lake(out_dir).select_columns(["url", "seq", "lang", "text"])
+
+
+def q_cdc_replay_full(sf_dir: str):
+    """Flagship: full change-log replay (snapshot + v1/v2 evolution +
+    deletes + duplicates) → final lake (url, seq, lang, text)."""
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.replay import replay
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    out = _cdc_out_dir(sf_dir, "full")
+    replay(corpus, out, EngineConfig(num_partitions=32))
+    return _lake_result(out)
+
+
+def q_cdc_replay_ignore(sf_dir: str):
+    """First-writer-wins replay (INSERT OR IGNORE semantics), no snapshot."""
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.replay import replay
+    from ethereum_etl_ray.sources.synth import Corpus, ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    corpus = Corpus(**{**corpus.__dict__, "snapshot_dir": ""})
+    out = _cdc_out_dir(sf_dir, "ignore")
+    replay(corpus, out, EngineConfig(num_partitions=32, merge_mode="ignore"))
+    return _lake_result(out)
+
+
+def q_cdc_resume_tail(sf_dir: str):
+    """Tail-mode replay: three bounded windows from the committed watermark
+    (reference realtime_ws tailer analogue) — must equal the one-shot result."""
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.replay import replay
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    out = _cdc_out_dir(sf_dir, "tail")
+    cfg = EngineConfig(num_partitions=32)
+    wm = corpus.watermark
+    for w in (wm // 3, (2 * wm) // 3, wm):
+        replay(corpus, out, cfg, watermark=w)
+    return _lake_result(out)
+
+
+def q_schema_evolution_audit(sf_dir: str):
+    """Conform-stage audit: events per schema generation after unification
+    (added column null-rate proves the in-flight rewrite)."""
+    from ethereum_etl_ray.pipelines.replay import load_events
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    ds = load_events(corpus.event_dirs)
+
+    def audit(t: pa.Table) -> pa.Table:
+        gen = pc.if_else(pc.less(t.column("seq"), corpus.v2_start_seq),
+                         pa.scalar(1), pa.scalar(2))
+        df = pd.DataFrame({
+            "generation": gen.to_numpy(zero_copy_only=False),
+            "n_events": 1,
+            "n_null_fetch_status": pc.is_null(t.column("fetch_status"))
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        agg = df.groupby("generation", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (ds.map_batches(audit, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("generation")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_null_fetch_status", alias_name="n_null_fetch_status")))
+
+
+# --------------------------------------------------------------------------
+# registry + DuckDB oracles
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "lww_latest_by_key": q_lww_latest_by_key,
+    "fww_first_by_key": q_fww_first_by_key,
+    "tombstone_merge": q_tombstone_merge,
+    "retention_evict": q_retention_evict,
+    "projection_revenue": q_projection_revenue,
+    "explode_tokens": q_explode_tokens,
+    "filter_dispatch": q_filter_dispatch,
+    "hex_roundtrip": q_hex_roundtrip,
+    "distinct_union_keys": q_distinct_union_keys,
+    "anti_join_users": q_anti_join_users,
+    "derived_counts": q_derived_counts,
+    "table_counts": q_table_counts,
+    "groupby_agg_pushdown": q_groupby_agg_pushdown,
+    "heavy_hitter_users": q_heavy_hitter_users,
+    "broadcast_join_brand_rev": q_broadcast_join_brand_rev,
+    "hash_join_segment_status": q_hash_join_segment_status,
+    "asof_join_orders": q_asof_join_orders,
+    "topk_orders": q_topk_orders,
+    "window_hourly": q_window_hourly,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id_docs": q_lang_id_docs,
+    "quality_docs": q_quality_docs,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "multimodal_decode": q_multimodal_decode,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "random_sample": q_random_sample,
+    "cdc_replay_full": q_cdc_replay_full,
+    "cdc_replay_ignore": q_cdc_replay_ignore,
+    "cdc_resume_tail": q_cdc_resume_tail,
+    "schema_evolution_audit": q_schema_evolution_audit,
+}
+
+_LWW_SQL = """
+SELECT user_id, ts, event_id, event_type, value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts {d1}, event_id {d1}) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+_MM_W = "GREATEST(1, LEAST(length(text), 64))"
+
+_LANG_SCORE = {
+    lang: " + ".join(
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) // (length(' {w} ')) AS BIGINT)"
+        for w in words
+    )
+    for lang, words in {
+        "de": ["der", "und", "die"],
+        "en": ["the", "a", "of"],
+        "es": ["el", "la", "que"],
+        "fr": ["le", "et", "les"],
+        "zh": ["he", "shi", "de0"],
+    }.items()
+}
+
+ORACLE_SQL = {
+    "lww_latest_by_key": _LWW_SQL.format(d1="DESC"),
+    "fww_first_by_key": _LWW_SQL.format(d1="ASC"),
+    "tombstone_merge": """
+        SELECT user_id, ts, event_id, event_type, value
+        FROM (
+          SELECT user_id, ts, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "retention_evict": """
+        SELECT event_id, user_id, ts
+        FROM (
+          SELECT event_id, user_id, ts,
+                 row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn <= CAST(floor(0.9 * (SELECT count(*) FROM events)) AS BIGINT)
+    """,
+    "projection_revenue": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS revenue_c100,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        FROM lineitem
+    """,
+    "explode_tokens": """
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    """,
+    "filter_dispatch": """
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN value ELSE -value END AS signed_value
+        FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+    "hex_roundtrip": """
+        SELECT event_id, printf('%x', event_id) AS hex_repr, event_id AS decoded FROM events
+    """,
+    "distinct_union_keys": """
+        SELECT CAST(user_id AS BIGINT) AS key_id FROM events
+        UNION
+        SELECT CAST(o_custkey AS BIGINT) AS key_id FROM orders
+    """,
+    "anti_join_users": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+    """,
+    "derived_counts": """
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_calc
+        FROM documents
+    """,
+    "table_counts": """
+        SELECT 'customer' AS table_name, count(*) AS n FROM customer
+        UNION ALL SELECT 'documents', count(*) FROM documents
+        UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        UNION ALL SELECT 'events', count(*) FROM events
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        UNION ALL SELECT 'nation', count(*) FROM nation
+        UNION ALL SELECT 'orders', count(*) FROM orders
+        UNION ALL SELECT 'part', count(*) FROM part
+        UNION ALL SELECT 'region', count(*) FROM region
+        UNION ALL SELECT 'supplier', count(*) FROM supplier
+    """,
+    "groupby_agg_pushdown": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c100,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c100
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "heavy_hitter_users": """
+        SELECT user_id, n FROM (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+          FROM events GROUP BY user_id
+        ) WHERE rn <= 20
+    """,
+    "broadcast_join_brand_rev": """
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c100
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "hash_join_segment_status": """
+        SELECT c_mktsegment, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c100
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderstatus
+    """,
+    "asof_join_orders": """
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e
+        ASOF JOIN (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate
+        ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+    "window_hourly": """
+        SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c100
+        FROM events GROUP BY user_id, hour_bucket
+    """,
+    "exact_dedup_docs": """
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """,
+    "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "lang_id_docs": f"""
+        SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+               CASE
+                 WHEN score_de >= GREATEST(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                 WHEN score_en >= GREATEST(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                 WHEN score_es >= GREATEST(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                 WHEN score_fr >= GREATEST(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                 ELSE 'zh'
+               END AS predicted_lang
+        FROM (
+          SELECT doc_id,
+                 {_LANG_SCORE['de']} AS score_de,
+                 {_LANG_SCORE['en']} AS score_en,
+                 {_LANG_SCORE['es']} AS score_es,
+                 {_LANG_SCORE['fr']} AS score_fr,
+                 {_LANG_SCORE['zh']} AS score_zh
+          FROM documents
+        )
+    """,
+    "quality_docs": """
+        SELECT doc_id, n_tokens, n_chars_txt, stop_ppm, mtl_c,
+               CAST(LEAST(n_tokens, 100) * 10000 - stop_ppm // 2 + mtl_c * 10 AS BIGINT) AS quality_ppm
+        FROM (
+          SELECT doc_id, n_tokens, n_chars_txt,
+                 (stop_hits * 1000000) // n_tokens AS stop_ppm,
+                 ((n_chars_txt - (n_tokens - 1)) * 100) // n_tokens AS mtl_c
+          FROM (
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_txt,
+                   CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+                      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3
+                      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+                      AS BIGINT) AS stop_hits
+            FROM documents
+          )
+        )
+    """,
+    "embedding_topk": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+          FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ), c AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+          FROM embeddings
+        ), s AS (
+          SELECT q.query_id, c.vec_id,
+                 list_cosine_similarity(q.qe, c.ce) AS sim
+          FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+               floor(sim * 10000 + 0.5) / 10000.0 AS score
+        FROM s
+        QUALIFY rank <= {_TOPK}
+    """,
+    "multimodal_decode": f"""
+        SELECT doc_id,
+               CAST({_MM_W} AS INT) AS width,
+               CAST(GREATEST(1, (length(text) + {_MM_W} - 1) // {_MM_W}) AS INT) AS height,
+               CAST({_MM_W} AS BIGINT) * CAST(GREATEST(1, (length(text) + {_MM_W} - 1) // {_MM_W}) AS BIGINT) AS n_pixels,
+               TRUE AS decode_ok
+        FROM documents
+    """,
+}
+ORACLE_SQL["ann_ivf_topk"] = ORACLE_SQL["embedding_topk"]

@@ -77,6 +77,21 @@ def max_seq_in(dirs: list[str]) -> int:
     return hi
 
 
+def _read_blocks_for(d: str) -> int:
+    """Right-size read parallelism: ~64 MiB per block, clamped to [cpus, 4×cpus].
+
+    Ray's default parquet parallelism over-fragments small shard sets into
+    hundreds of ~1 MiB blocks, which multiplies sort-shuffle fragmentation
+    (#map blocks × #reduce partitions); measured 3× end-to-end on the 1M-event
+    bench. At 100 TB the same rule yields ≫ cores blocks, so nothing is lost."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 32)) if _ray.is_initialized() else 32
+    total = sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+                if f.endswith(".parquet"))
+    return int(min(max(total // (64 << 20), cpus), cpus * 4))
+
+
 def load_events(
     event_dirs: list[str],
     *,
@@ -96,7 +111,8 @@ def load_events(
     for d in event_dirs:
         if not os.path.isdir(d) or not os.listdir(d):
             continue
-        ds = ray.data.read_parquet(d, filter=expr)
+        ds = ray.data.read_parquet(d, filter=expr,
+                                   override_num_blocks=_read_blocks_for(d))
         parts.append(ds.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True))
     if not parts:
         raise FileNotFoundError(f"no event files under {event_dirs}")
@@ -121,7 +137,10 @@ def replay(
         return ReplayResult(out_dir, prior, 0, len(prior.partitions))
 
     seq_gt = prior.watermark if prior is not None else None
-    ds = load_events(corpus.event_dirs, seq_gt=seq_gt, seq_le=target_wm)
+    # drop the upper-bound filter when it covers the whole log (row-level
+    # filtering in the scan is pure overhead then)
+    seq_le = None if target_wm >= corpus.watermark else target_wm
+    ds = load_events(corpus.event_dirs, seq_gt=seq_gt, seq_le=seq_le)
     ds = ds.map_batches(events_to_merge_frame, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(make_combiner(mode=cfg.merge_mode), batch_format="pyarrow",
                         batch_size=cfg.batch_size_rows, zero_copy_batch=True)
@@ -131,6 +150,9 @@ def replay(
         snap = snap.map_batches(pages_to_merge_frame, batch_format="pyarrow",
                                 zero_copy_batch=True)
         ds = ds.union(snap)
+
+    if cfg.skew_detect:
+        ds = _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, target_wm)
 
     ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
                         zero_copy_batch=True)
@@ -158,6 +180,38 @@ def replay(
     commit_manifest(out_dir, manifest)
     skipped = len(manifest.partitions) - len(summaries)
     return ReplayResult(out_dir, manifest, len(summaries), skipped)
+
+
+def _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, seq_le):
+    """Skew handling (SURVEY §7.4): sketch a sample of the key column, split
+    hot urls out, pre-reduce them via the salted two-stage merge, and union
+    the winners back with the cold stream. Costs one extra (column-pruned)
+    sample read plus a second pass over the events — enable via
+    ``EngineConfig(skew_detect=True)`` when keys are Zipf-hot."""
+    from ethereum_etl_ray.stages.joins import semi_anti_filter
+    from ethereum_etl_ray.stages.merge import salted_reduce
+    from ethereum_etl_ray.stages.sketch import sketch_heavy_hitters
+
+    expr = None
+    if seq_gt is not None:
+        expr = pc.field("seq") > seq_gt
+    if seq_le is not None:
+        e2 = pc.field("seq") <= seq_le
+        expr = e2 if expr is None else expr & e2
+    files = [os.path.join(d, f)
+             for d in corpus.event_dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    sample_src = ray.data.read_parquet(files, columns=["url", "seq"], filter=expr)
+    n_sampled = max(1, int(sample_src.count() * cfg.skew_sample_fraction))
+    hh = sketch_heavy_hitters(sample_src, "url",
+                              sample_fraction=cfg.skew_sample_fraction)
+    hot = hh[hh.est_n >= cfg.skew_hot_threshold * n_sampled]["url"].tolist()
+    if not hot:
+        return ds
+    hot_ds = semi_anti_filter(ds, hot, on="url")
+    cold_ds = semi_anti_filter(ds, hot, on="url", anti=True)
+    hot_winners = salted_reduce(hot_ds, mode=cfg.merge_mode)
+    return cold_ds.union(hot_winners)
 
 
 def load_lake(out_dir: str) -> ray.data.Dataset:

@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths per the project brief:
+  * ``brute_force_topk`` — baseline: the small query matrix is broadcast once
+    with ``ray.put`` and every batch does one float64 matmul against it
+    (numpy), emitting per-batch partial top-k; a tiny final reduction picks
+    the global top-k. No shuffle of the corpus.
+  * ``ivf_topk`` — scale path: corpus bucketed by nearest of C seeded
+    centroids (an IVF coarse quantizer); queries probe only ``nprobe``
+    nearest buckets. With ``nprobe == C`` it is exact and must equal the
+    brute-force result (that equivalence is the test/oracle).
+
+Scores are computed in float64 end-to-end for DuckDB-oracle parity
+(``list_cosine_similarity``); ordering tie-break is (score desc, vec_id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    emb = batch.column(col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    if hasattr(emb, "values"):  # plain list<float> array
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // len(batch) if len(batch) else 0
+        return flat.reshape(len(batch), dim)
+    # Ray tensor-extension array (from_pandas of ndarray column)
+    return np.asarray(emb.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _PartialTopK:
+    """Stateful map_batches stage: query matrix fetched once per actor."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qmat = _normalize(q["mat"])
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch.column(self.id_col).to_numpy()
+        m = _normalize(_batch_matrix(batch, self.emb_col))
+        sims = self.qmat @ m.T  # (q, batch)
+        k = min(self.k + 1, sims.shape[1])  # +1 to survive self-match removal
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_v = ids[idx.ravel()]
+        rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = rows_q != rows_v  # exclude self-match
+        return pa.table({"query_id": pa.array(rows_q[keep], pa.int64()),
+                         "vec_id": pa.array(rows_v[keep], pa.int64()),
+                         "score": pa.array(rows_s[keep], pa.float64())})
+
+
+def _final_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = partials.sort_values(["query_id", "score", "vec_id"],
+                              ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["score"] = np.floor(df["score"] * 1e4 + 0.5) / 1e4  # 4-dec, floor(x+.5) parity
+    return df.reset_index(drop=True)[["query_id", "vec_id", "rank", "score"]]
+
+
+from ethereum_etl_ray.util import pool_size as _pool_size
+
+
+def brute_force_topk(ds: ray.data.Dataset, query_ids: np.ndarray, query_mat: np.ndarray,
+                     k: int = 5, id_col: str = "vec_id", emb_col: str = "embedding",
+                     concurrency: int | None = None) -> pd.DataFrame:
+    """Exact cosine top-k of every query against the full corpus Dataset."""
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "mat": np.asarray(query_mat, dtype=np.float64)})
+    partials = ds.map_batches(
+        _PartialTopK, fn_constructor_args=(ref, k, id_col, emb_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool_size(concurrency),
+    ).to_pandas()  # partial top-k rows only: O(#batches × q × k), small
+    return _final_topk(partials, k)
+
+
+def assign_ivf_buckets(ds: ray.data.Dataset, centroids: np.ndarray,
+                       emb_col: str = "embedding") -> ray.data.Dataset:
+    """Adds an ``ivf_bucket`` column = argmax cosine(centroid, vec)."""
+    cref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)  # object-store read, zero-copy after first touch
+        m = _normalize(_batch_matrix(batch, emb_col))
+        b = np.argmax(c @ m.T, axis=0).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(b, pa.int32()))
+
+    # stateless tasks (no actor reservation): centroids come from the object
+    # store by reference, so nothing is re-shipped per batch
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def seeded_centroids(ds: ray.data.Dataset, n_centroids: int, emb_col: str = "embedding",
+                     seed: int = 11) -> np.ndarray:
+    """Deterministic coarse quantizer: sample rows as centroids (k-means init
+    without iterations — adequate as an IVF demo; swap in k-means at scale)."""
+    sample = ds.random_sample(min(1.0, (n_centroids * 20) / max(1, ds.count())), seed=seed)
+    df = sample.to_pandas()
+    mat = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+    return mat[pick]
+
+
+def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray, query_mat: np.ndarray,
+             k: int = 5, n_centroids: int = 8, nprobe: int | None = None,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> pd.DataFrame:
+    """IVF-bucketed top-k. ``nprobe=None`` probes all buckets (exact)."""
+    cents = seeded_centroids(ds, n_centroids, emb_col)
+    nprobe = n_centroids if nprobe is None else nprobe
+    bucketed = assign_ivf_buckets(ds, cents, emb_col)
+    qn = _normalize(np.asarray(query_mat, dtype=np.float64))
+    probe = np.argsort(-(_normalize(cents) @ qn.T), axis=0)[:nprobe]  # (nprobe, q)
+    wanted = sorted(set(probe.ravel().tolist()))
+    # prune the corpus to probed buckets BEFORE the scan fan-out
+    sub = bucketed.filter(expr=f"ivf_bucket in {wanted}")
+    return brute_force_topk(sub, query_ids, query_mat, k, id_col, emb_col)

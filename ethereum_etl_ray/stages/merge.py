@@ -107,6 +107,77 @@ def make_partitioner(num_partitions: int, key: str = "url", part_col: str = PART
     return assign
 
 
+def lww_merge_dataset(
+    ds,
+    key: str,
+    version: tuple[str, ...],
+    mode: str = "replace",
+    num_partitions: int = 32,
+):
+    """Generic distributed keyed LWW/FWW merge over any Dataset.
+
+    The reference's ``INSERT OR REPLACE`` / ``OR IGNORE`` upsert semantics
+    (``src/repositories/sqlite/base.py:159-172``) as a reusable operator:
+    per-batch combiner → hash partition on ``key`` → per-partition vectorized
+    winner pick. Returns a Dataset with one row per key.
+    """
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return lww_pick(batch, key=key, version=version, mode=mode)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        parts = partition_ids(batch.column(key), num_partitions)
+        return batch.append_column(PART_COL, pa.array(parts, pa.int32()))
+
+    def pick_group(group: pa.Table) -> pa.Table:
+        return lww_pick(group.drop_columns([PART_COL]), key=key, version=version, mode=mode)
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(PART_COL)
+        .map_groups(pick_group, batch_format="pyarrow")
+    )
+
+
+SALT_COL = "__salt"
+
+
+def salted_reduce(
+    ds,
+    key: str = "url",
+    version: Iterable[str] = VERSION_COLS,
+    mode: str = "replace",
+    num_salts: int = 8,
+    salt_source: str = "seq",
+):
+    """Two-stage reduction for HOT keys (SURVEY §7.4 salting).
+
+    Stage 1 shuffles on ``(key, salt)`` with ``salt = salt_source % S`` so one
+    hot key's rows spread over S reducers; stage 2 merges the ≤S winners per
+    key — a tiny shuffle. Correct because max-version selection is
+    associative. Apply only to detected heavy hitters; cold keys take the
+    single-shuffle path.
+    """
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = (batch.column(salt_source).to_numpy() % num_salts).astype(np.int32)
+        return batch.append_column(SALT_COL, pa.array(salt, pa.int32()))
+
+    def pick_drop_salt(group: pa.Table) -> pa.Table:
+        return lww_pick(group.drop_columns([SALT_COL]), key=key, version=version, mode=mode)
+
+    def pick(group: pa.Table) -> pa.Table:
+        return lww_pick(group, key=key, version=version, mode=mode)
+
+    stage1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, SALT_COL])
+        .map_groups(pick_drop_salt, batch_format="pyarrow")
+    )
+    return stage1.groupby(key).map_groups(pick, batch_format="pyarrow")
+
+
 def events_to_merge_frame(batch: pa.Table) -> pa.Table:
     """Conformed v2 events → MERGE_SCHEMA (adds null ``text``)."""
     cols = {

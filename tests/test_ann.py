@@ -1,0 +1,58 @@
+"""Similarity-search tests: brute force vs numpy ground truth; IVF ≡ exact."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from ethereum_etl_ray.stages.ann import brute_force_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(5)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(mat)})
+    return ray.data.from_pandas(df), mat
+
+
+def _truth_topk(mat, qids, k):
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m[qids] @ m.T
+    out = {}
+    for i, q in enumerate(qids):
+        order = sorted(range(len(m)), key=lambda j: (-sims[i, j], j))
+        out[q] = [j for j in order if j != q][:k]
+    return out
+
+
+def test_brute_force_matches_numpy(corpus):
+    ds, mat = corpus
+    qids = np.array([0, 1, 2], dtype=np.int64)
+    got = brute_force_topk(ds, qids, mat[qids], k=4)
+    truth = _truth_topk(mat, qids, 4)
+    for q in qids:
+        sub = got[got.query_id == q].sort_values("rank")
+        assert sub.vec_id.tolist() == truth[q]
+        assert (sub["rank"].to_numpy() == np.arange(1, 5)).all()
+        assert (sub.score.to_numpy() <= 1.0 + 1e-9).all()
+
+
+def test_ivf_full_probe_equals_brute_force(corpus):
+    ds, mat = corpus
+    qids = np.array([3, 7], dtype=np.int64)
+    bf = brute_force_topk(ds, qids, mat[qids], k=5)
+    ivf = ivf_topk(ds, qids, mat[qids], k=5, n_centroids=6, nprobe=None)
+    pd.testing.assert_frame_equal(bf.reset_index(drop=True), ivf.reset_index(drop=True))
+
+
+def test_ivf_partial_probe_high_recall(corpus):
+    ds, mat = corpus
+    qids = np.array([11], dtype=np.int64)
+    bf = brute_force_topk(ds, qids, mat[qids], k=5)
+    ivf = ivf_topk(ds, qids, mat[qids], k=5, n_centroids=6, nprobe=3)
+    recall = len(set(bf.vec_id) & set(ivf.vec_id)) / 5
+    assert recall >= 0.4  # partial probe trades recall for pruning

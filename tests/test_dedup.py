@@ -1,0 +1,88 @@
+"""Dedup operator tests with planted exact and near duplicates."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from ethereum_etl_ray.functions.dedup import (
+    hamming64,
+    jaccard,
+    minhash_signatures,
+    simhash_signatures,
+    tokenize_column,
+    word_ngram_hashes,
+)
+from ethereum_etl_ray.pipelines.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    simhash_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "near the warm fire and dreams of chasing mice all day long")
+
+
+@pytest.fixture(scope="module")
+def planted():
+    near = BASE.replace("warm fire", "cold stove")           # high-Jaccard near-dup
+    other = "completely different text about database engines and arrow batches"
+    rows = [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": BASE},                          # exact dup of 1
+        {"doc_id": 3, "text": near},                          # near dup of 1
+        {"doc_id": 4, "text": other},
+        {"doc_id": 5, "text": "tiny"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup_keeps_min_id(planted):
+    out = exact_dedup(planted, keep_cols=["doc_id"]).to_pandas()
+    assert sorted(out.doc_id) == [1, 3, 4, 5]
+
+
+def test_minhash_finds_planted_near_dup(planted):
+    pairs = minhash_lsh_dedup_pairs(planted, threshold=0.5)
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (1, 2) in got            # exact dup → jaccard 1.0
+    assert (1, 3) in got or (2, 3) in got   # near dup found
+    assert all(j >= 500_000 for j in pairs.jaccard_ppm)
+    assert not any({4, 5} & {a, b} for a, b in got)
+
+
+def test_simhash_finds_exact_and_near(planted):
+    pairs = simhash_pairs(planted, max_hamming=6)
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (1, 2) in got
+    ham = dict(zip(zip(pairs.doc_a, pairs.doc_b), pairs.hamming))
+    assert ham[(1, 2)] == 0
+
+
+def test_minhash_similarity_estimates_jaccard():
+    import pyarrow as pa
+
+    texts = pa.array([BASE, BASE.replace("warm fire", "cold stove")])
+    tok_h, lens = tokenize_column(texts)
+    sh, counts = word_ngram_hashes(tok_h, lens, n=3)
+    sigs = minhash_signatures(sh, counts, num_perm=256)
+    est = (sigs[0] == sigs[1]).mean()
+    s0 = set(sh[: counts[0]].tolist())
+    s1 = set(sh[counts[0]:].tolist())
+    true_j = jaccard(s0, s1)
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_signature_properties():
+    import pyarrow as pa
+
+    texts = pa.array([BASE, BASE, "other words entirely here today"])
+    tok_h, lens = tokenize_column(texts)
+    sigs = simhash_signatures(tok_h, lens)
+    assert sigs[0] == sigs[1]
+    assert hamming64(sigs[:1], sigs[2:3])[0] > 10
+
+
+def test_jaccard_edge_cases():
+    assert jaccard(set(), set()) == 1.0
+    assert jaccard({1}, set()) == 0.0
+    assert jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
