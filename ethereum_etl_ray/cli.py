@@ -107,6 +107,37 @@ def cmd_compact(args):
     print(json.dumps({"removed": len(removed)}))
 
 
+def cmd_retention(args):
+    _ray_up(args.num_cpus)
+    from ethereum_etl_ray.pipelines.retention import apply_retention
+
+    print(json.dumps(apply_retention(args.out, keep_ratio=args.keep_ratio)))
+
+
+def cmd_export(args):
+    """Lake → CSV export (reference X6: `COPY table TO file`,
+    src/repositories/sqlite/base.py:177-185). Binary html is hex-encoded or
+    dropped (CSV cannot carry raw bytes)."""
+    _ray_up(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ethereum_etl_ray.pipelines.replay import load_lake
+
+    lake = load_lake(args.out)
+
+    def csv_safe(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("html")
+        if args.include_html:
+            # payloads are utf-8 in this lake; generic binary would need hex
+            return t.set_column(idx, "html_text",
+                                pc.cast(t.column("html"), pa.string()))
+        return t.remove_column(idx)
+
+    lake.map_batches(csv_safe, batch_format="pyarrow").write_csv(args.dest)
+    print(json.dumps({"dest": args.dest}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="ethereum_etl_ray")
     p.add_argument("--num-cpus", type=int, default=8)
@@ -134,6 +165,17 @@ def main(argv=None):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("retention", help="evict oldest rows (reference A8 free_space)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--keep-ratio", type=float, default=0.9)
+    sp.set_defaults(fn=cmd_retention)
+
+    sp = sub.add_parser("export", help="lake -> CSV (reference X6 COPY TO)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--dest", required=True)
+    sp.add_argument("--include-html", action="store_true")
+    sp.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     args.fn(args)

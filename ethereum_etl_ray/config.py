@@ -29,6 +29,25 @@ class EngineConfig:
 
     num_partitions: int = 64
     batch_size_rows: int = 16384
+    # Late materialization (default): pass 1 shuffles only the ~20-byte
+    # (url, warc_ts, seq, op) version tuples to elect per-key winners; pass 2
+    # re-reads the log, keeps ONLY winner rows, and extracts/writes them. The
+    # wide html payload never enters the shuffle — measured ~4× on the 3M-event
+    # bench and the gap grows with payload width. False = single-pass (payload
+    # through the shuffle), better when nearly every event wins (no updates).
+    late_materialization: bool = True
+    # Physical shuffle for the single-pass route: "sort" = Ray's built-in
+    # sort-based all-to-all; "file" = explicit bucket shuffle (spill lz4
+    # Arrow-IPC files per partition from inside the fused read task, merge
+    # tasks read exactly their bucket). "file" keeps the wide payload out of
+    # the object store entirely; on a cluster the spill dir is shared storage.
+    shuffle: str = "sort"
+    # Scratch space for the file shuffle. None → /dev/shm when present (RAM;
+    # 32 concurrent spill writers collapsed the virtio disk queue: 8.8 s →
+    # 132 s on the 3M-row bulk bench), else alongside out_dir. On a cluster:
+    # per-node local NVMe, or shared storage when merge tasks may land on
+    # other nodes.
+    shuffle_scratch: str | None = None
     # LWW ("replace", reference INSERT OR REPLACE) vs first-writer-wins
     # ("ignore", reference INSERT OR IGNORE, src/repositories/sqlite/base.py:159-172)
     merge_mode: str = "replace"

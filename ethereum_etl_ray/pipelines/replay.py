@@ -3,19 +3,29 @@
 Ray-Data-native re-expression of the reference's historical backfill driver
 (``src/clis/historical.py:35-93``): where the reference admits block-range
 batches into an asyncio DAG and funnels rows through idempotent SQL upserts,
-this engine expresses the whole job as ONE lazy Dataset pipeline —
+this engine expresses the whole job as lazy Dataset pipelines and lets the
+streaming executor schedule/backpressure the stages (the reference's
+``Graph.run`` scheduler, ``src/tasks/graph.py:19-65``, for free).
 
-    read_parquet(change log, seq-range pushdown)      # S1-S3 fetch stage
-      → map_batches(conform to latest schema)          # §1.3 schema evolution
-      → map_batches(events_to_merge_frame)             # E* extract projections
-      → map_batches(lww combiner)                      # partial agg pre-shuffle
-      → [∪ initial snapshot on first run]
-      → map_batches(hash partitioner)                  # explicit partition key
-      → groupby(part).map_groups(merge_apply)          # A5/A6 LWW upsert + X1/X2 sink
-      → summaries (1 row/partition) → atomic manifest commit
+Two physical routes share one logical merge (winner per key = max/min
+``(warc_ts, seq)``; tombstones drop):
 
-and lets the streaming executor pipeline/backpressure the stages (the
-reference's ``Graph.run`` scheduler, ``src/tasks/graph.py:19-65``, for free).
+LATE-MATERIALIZED (default; update-heavy logs). The wide ``html`` payload
+never enters a shuffle:
+
+    pass 1  read(url, warc_ts, seq, op)                # 20-byte version tuples
+              → combiner (fused) → cascaded combiner
+              → hash partition → groupby → winner per key
+    pass 2  read(all columns) → keep winner seqs (fused filter)
+              → ∪ surviving snapshot rows → partition
+              → groupby(part).map_groups(merge_apply)  # upsert + extract + write
+              → summaries → atomic manifest commit
+
+SINGLE-PASS (``late_materialization=False``; insert-heavy / bulk loads where
+nearly every event survives). The payload shuffles once, either through
+Ray's sort shuffle or the explicit file-bucket shuffle
+(``EngineConfig.shuffle="file"``: spill per-partition lz4 Arrow-IPC from
+inside the fused read task; merge tasks read exactly their bucket).
 
 Resume: committed partitions at the target watermark are skipped; only events
 with ``seq > prior watermark`` are read (Parquet filter pushdown). Replay of
@@ -27,8 +37,11 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data
 
 from ethereum_etl_ray.config import EngineConfig
@@ -97,9 +110,21 @@ def load_events(
     *,
     seq_gt: int | None = None,
     seq_le: int | None = None,
+    branch_fns: tuple = (),
 ) -> ray.data.Dataset:
     """Read the change log (all schema generations) conformed to the latest
-    registry schema, with seq-range predicate pushdown to the Parquet scan."""
+    registry schema, with seq-range predicate pushdown to the Parquet scan.
+
+    ``branch_fns`` are extra pyarrow batch fns applied PER BRANCH, directly
+    after conform and BEFORE the union. Placement matters enormously: a
+    map placed after the union cannot fuse with ``ReadParquet``, so full
+    decoded blocks (html inflates ~15× from parquet) transit the object
+    store; when a downstream all-to-all (sort/groupby) then reserves most of
+    the store budget, the executor throttles the read to one task at a time
+    (measured: 470 s vs 3 s for the same scan on the 15M-event bench).
+    Fused per-branch, selective fns shrink blocks before they ever leave the
+    read task.
+    """
     expr = None
     if seq_gt is not None:
         expr = pc.field("seq") > seq_gt
@@ -113,7 +138,10 @@ def load_events(
             continue
         ds = ray.data.read_parquet(d, filter=expr,
                                    override_num_blocks=_read_blocks_for(d))
-        parts.append(ds.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True))
+        ds = ds.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)
+        for fn in branch_fns:
+            ds = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        parts.append(ds)
     if not parts:
         raise FileNotFoundError(f"no event files under {event_dirs}")
     out = parts[0]
@@ -140,19 +168,75 @@ def replay(
     # drop the upper-bound filter when it covers the whole log (row-level
     # filtering in the scan is pure overhead then)
     seq_le = None if target_wm >= corpus.watermark else target_wm
-    ds = load_events(corpus.event_dirs, seq_gt=seq_gt, seq_le=seq_le)
-    ds = ds.map_batches(events_to_merge_frame, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(make_combiner(mode=cfg.merge_mode), batch_format="pyarrow",
-                        batch_size=cfg.batch_size_rows, zero_copy_batch=True)
+    use_snapshot = (prior is None and corpus.snapshot_dir
+                    and os.path.isdir(corpus.snapshot_dir))
 
-    if prior is None and corpus.snapshot_dir and os.path.isdir(corpus.snapshot_dir):
-        snap = ray.data.read_parquet(corpus.snapshot_dir)
-        snap = snap.map_batches(pages_to_merge_frame, batch_format="pyarrow",
-                                zero_copy_batch=True)
-        ds = ds.union(snap)
+    if cfg.late_materialization:
+        winner_seqs, snap_urls = _elect_winners(corpus, cfg, seq_gt, seq_le,
+                                                use_snapshot)
+        sref = ray.put(winner_seqs)
 
-    if cfg.skew_detect:
-        ds = _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, target_wm)
+        def keep_winners(batch):
+            import pyarrow as _pa
+
+            keep = np.isin(batch.column("seq").to_numpy(), ray.get(sref))
+            return batch.filter(_pa.array(keep))
+
+        ds = load_events(corpus.event_dirs, seq_gt=seq_gt, seq_le=seq_le,
+                         branch_fns=(keep_winners, events_to_merge_frame))
+        if use_snapshot:
+            uref = ray.put(snap_urls)
+
+            def keep_snap(batch):
+                import pyarrow as _pa
+
+                keep = np.isin(
+                    batch.column("url").to_numpy(zero_copy_only=False), ray.get(uref))
+                return batch.filter(_pa.array(keep))
+
+            snap = ray.data.read_parquet(corpus.snapshot_dir, override_num_blocks=4)
+            snap = snap.map_batches(keep_snap, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            snap = snap.map_batches(pages_to_merge_frame, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            ds = ds.union(snap)
+    else:
+        branch = [events_to_merge_frame, make_combiner(mode=cfg.merge_mode)]
+        shuffle_dir = None
+        spiller = None
+        if cfg.shuffle == "file":
+            import shutil
+
+            from ethereum_etl_ray.stages.merge import make_spiller
+
+            scratch = cfg.shuffle_scratch or (
+                "/dev/shm/webcdc_shuffle" if os.path.isdir("/dev/shm") else out_dir)
+            os.makedirs(scratch, exist_ok=True)
+            shuffle_dir = os.path.join(
+                scratch, f"shuf-{abs(hash(os.path.abspath(out_dir))) % 10**8}-{target_wm}")
+            shutil.rmtree(shuffle_dir, ignore_errors=True)
+            spiller = make_spiller(shuffle_dir, cfg.num_partitions)
+            # fused into the read task: payload goes straight from the
+            # parquet decode to its bucket file, never into the object store
+            branch.append(spiller)
+        ds = load_events(corpus.event_dirs, seq_gt=seq_gt, seq_le=seq_le,
+                         branch_fns=tuple(branch))
+
+        if use_snapshot:
+            snap = ray.data.read_parquet(corpus.snapshot_dir)
+            snap = snap.map_batches(pages_to_merge_frame, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            if spiller is not None:
+                snap = snap.map_batches(spiller, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+            ds = ds.union(snap)
+
+        if shuffle_dir is not None:
+            return _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm,
+                                            prior, cfg)
+
+        if cfg.skew_detect:
+            ds = _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, target_wm)
 
     ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
                         zero_copy_batch=True)
@@ -164,7 +248,10 @@ def replay(
         .map_groups(merge_apply, batch_format="pyarrow")
         .to_pandas()  # tiny: one row per touched partition
     )
+    return _commit(out_dir, target_wm, prior, cfg, summaries)
 
+
+def _commit(out_dir, target_wm, prior, cfg, summaries) -> ReplayResult:
     manifest = Manifest(
         watermark=target_wm,
         schema_version=LATEST_EVENT_VERSION,
@@ -180,6 +267,127 @@ def replay(
     commit_manifest(out_dir, manifest)
     skipped = len(manifest.partitions) - len(summaries)
     return ReplayResult(out_dir, manifest, len(summaries), skipped)
+
+
+def _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm, prior, cfg
+                             ) -> ReplayResult:
+    """Consume the spill stage (barrier: every bucket file durable), then run
+    one merge task per populated partition reading exactly its bucket."""
+    import shutil
+
+    from ethereum_etl_ray.stages.merge import make_spill_merge_apply
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.count()  # barrier — drives the spill to completion
+    populated = sorted(
+        int(name[1:]) for name in os.listdir(shuffle_dir)
+    ) if os.path.isdir(shuffle_dir) else []
+    if populated:
+        merge = make_spill_merge_apply(shuffle_dir, out_dir, target_wm, prior,
+                                       mode=cfg.merge_mode)
+        # cap concurrent merge tasks at ~16/node: each concat+sort+extract+
+        # parquet-write task is memory-bandwidth/IO heavy, and oversubscribing
+        # them anti-scales (measured 13.5 s at 16 concurrent vs 65 s at 32)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        summaries = (
+            ray.data.from_items([{"part": p} for p in populated])
+            .map_batches(merge, batch_size=1, batch_format="pyarrow",
+                         num_cpus=max(1, cpus // 16))
+            .to_pandas()
+        )
+    else:
+        import pandas as pd
+
+        summaries = pd.DataFrame(columns=["part", "rows", "checksum", "file",
+                                          "watermark"])
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    return _commit(out_dir, target_wm, prior, cfg, summaries)
+
+
+SLIM_COLS = ["url", "warc_ts", "seq", "op"]
+
+
+def _slim_event_files(corpus) -> list[str]:
+    return [os.path.join(d, f)
+            for d in corpus.event_dirs if os.path.isdir(d)
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+
+def _elect_winners(corpus, cfg, seq_gt, seq_le, use_snapshot):
+    """Pass 1 of the late-materialized merge: elect the winning (max/min
+    version) event per url using ONLY the ~20-byte version-tuple columns.
+
+    The slim columns are schema-stable across event generations, so both
+    generations read as one column-pruned scan (no conform needed). Returns
+    (winner seq values to keep in pass 2, snapshot urls whose snapshot row is
+    the winner).
+
+    Scale note: the broadcast winner-seq set is O(#keys); beyond ~10^8 keys
+    swap the broadcast for a second shuffle join of winners against the log
+    (same partitioner) — the pass-1 election itself already scales.
+    """
+    from ethereum_etl_ray.stages.merge import lww_pick
+    from ethereum_etl_ray.stages.sketch import sketch_heavy_hitters
+
+    expr = None
+    if seq_gt is not None:
+        expr = pc.field("seq") > seq_gt
+    if seq_le is not None:
+        e2 = pc.field("seq") <= seq_le
+        expr = e2 if expr is None else expr & e2
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    comb = make_combiner(mode=cfg.merge_mode)
+    slim = ray.data.read_parquet(_slim_event_files(corpus), columns=SLIM_COLS,
+                                 filter=expr, override_num_blocks=cpus * 2)
+    # combiner fused into the read branch (see load_events docstring)
+    slim = slim.map_batches(lambda t: t.select(SLIM_COLS), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    slim = slim.map_batches(comb, batch_format="pyarrow",
+                            batch_size=cfg.batch_size_rows, zero_copy_batch=True)
+    # cascaded combine: re-batch 16× larger and reduce again. With Zipf keys a
+    # single combine pass leaves ~#distinct-per-batch rows; the cascade cuts
+    # the sort input by another ~40× for the cost of one cheap slim re-batch.
+    slim = slim.map_batches(comb, batch_format="pyarrow",
+                            batch_size=cfg.batch_size_rows * 16, zero_copy_batch=True)
+    if use_snapshot:
+        snap = ray.data.read_parquet(corpus.snapshot_dir,
+                                     columns=["url", "warc_ts", "seq"],
+                                     override_num_blocks=4)
+
+        def mark_insert(t: pa.Table) -> pa.Table:
+            t = t.append_column("op", pa.array(["insert"] * t.num_rows))
+            return t.select(SLIM_COLS)
+
+        slim = slim.union(snap.map_batches(mark_insert, batch_format="pyarrow"))
+
+    if cfg.skew_detect:
+        from ethereum_etl_ray.stages.joins import semi_anti_filter
+        from ethereum_etl_ray.stages.merge import salted_reduce
+
+        probe = ray.data.read_parquet(_slim_event_files(corpus),
+                                      columns=["url", "seq"], filter=expr)
+        n_sampled = max(1, int(probe.count() * cfg.skew_sample_fraction))
+        hh = sketch_heavy_hitters(probe, "url",
+                                  sample_fraction=cfg.skew_sample_fraction)
+        hot = hh[hh.est_n >= cfg.skew_hot_threshold * n_sampled]["url"].tolist()
+        if hot:
+            hot_ds = semi_anti_filter(slim, hot, on="url")
+            cold_ds = semi_anti_filter(slim, hot, on="url", anti=True)
+            slim = cold_ds.union(salted_reduce(hot_ds, mode=cfg.merge_mode))
+
+    slim = slim.map_batches(make_partitioner(cfg.num_partitions),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick(group: pa.Table) -> pa.Table:
+        return lww_pick(group.drop_columns([PART_COL]), mode=cfg.merge_mode)
+
+    winners = slim.groupby(PART_COL).map_groups(pick, batch_format="pyarrow") \
+        .to_pandas()  # one row per distinct key
+    winner_seqs = winners.seq.to_numpy()
+    snap_urls = winners[winners.seq < 0].url.to_numpy()
+    return winner_seqs[winner_seqs >= 0], snap_urls
 
 
 def _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, seq_le):

@@ -99,11 +99,20 @@ def ensure_corpus(
     ts_jitter_s: int = 120,
     evolve_at_frac: float = 0.55,
     snapshot_frac: float = 0.5,
+    unique_urls: bool = False,
 ) -> Corpus:
-    """Generate (or reuse cached) corpus for one scale directory."""
+    """Generate (or reuse cached) corpus for one scale directory.
+
+    ``unique_urls=True`` produces a bulk-load-shaped log: every event targets
+    a distinct url (url suffixed with the event seq), no deletes/duplicates —
+    the worst case for a CDC merge (zero reduction; every row is extracted
+    and written). Used by the scaling benchmark.
+    """
+    if unique_urls:
+        p_insert, p_update, p_delete, dup_frac, snapshot_frac = 1.0, 0.0, 0.0, 0.0, 0.0
     key = _digest(sf_dir, epd=events_per_doc, seed=seed, z=zipf_s, pi=p_insert,
                   pu=p_update, pd=p_delete, df=dup_frac, j=ts_jitter_s,
-                  ev=evolve_at_frac, sn=snapshot_frac)
+                  ev=evolve_at_frac, sn=snapshot_frac, uu=unique_urls)
     root = os.path.join(_CACHE_ROOT, key)
     meta_path = os.path.join(root, "meta.json")
     if os.path.exists(os.path.join(root, "_SUCCESS")):
@@ -189,10 +198,13 @@ def ensure_corpus(
         lang_col = pc.if_else(del_mask, t_lang, pa.nulls(len(sel), pa.string()))
         clen = pc.fill_null(pc.binary_length(html), 0)
 
+        ev_urls = make_url(doc_ids[d])
+        if unique_urls:
+            ev_urls = np.char.add(np.char.add(ev_urls, "-"), seq.astype(str))
         base = {
             "seq": pa.array(seq),
             "op": pa.array(op),
-            "url": pa.array(make_url(doc_ids[d])),
+            "url": pa.array(ev_urls),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
             "html": html,
             "lang": lang_col,

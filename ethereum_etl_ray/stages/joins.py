@@ -61,18 +61,29 @@ def semi_anti_filter(
     anti: bool = False,
 ) -> ray.data.Dataset:
     """Semi (keep members) / anti (keep non-members) join via a broadcast key
-    set. At larger build sides substitute a Bloom filter — same shape.
+    set, or a broadcast Bloom filter when the build side is too big to ship
+    exactly (pass a ``state.bloom.BloomFilter`` as ``keys``). Bloom semantics:
+    no false negatives, so semi keeps a small FP surplus and anti may drop an
+    FP sliver — choose ``fp_rate`` accordingly.
 
     Stateless tasks on purpose: the key set lives in the object store
     (one ``ray.put``, zero-copy ``ray.get`` per task) and reserving actors for
     a pure filter starves other stages of a small cluster (two pools of 2
     deadlocked a 4-CPU pipeline in testing)."""
-    ref = ray.put(np.asarray(list(keys)))
+    from ethereum_etl_ray.state.bloom import BloomFilter
+
+    is_bloom = isinstance(keys, BloomFilter)
+    ref = ray.put(keys if is_bloom else np.asarray(list(keys)))
 
     def member(batch: pa.Table) -> pa.Table:
         keyset = ray.get(ref)
         vals = batch.column(on).to_numpy(zero_copy_only=False)
-        mask = np.isin(vals, keyset, invert=anti)
+        if is_bloom:
+            mask = keyset.contains_many(vals)
+            if anti:
+                mask = ~mask
+        else:
+            mask = np.isin(vals, keyset, invert=anti)
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(member, batch_format="pyarrow", zero_copy_batch=True)

@@ -140,6 +140,66 @@ def lww_merge_dataset(
     )
 
 
+# ---------------------------------------------------------------------------
+# Explicit file-based bucket shuffle (north_rule: "partitioning / shuffle /
+# skew handled explicitly"). Map tasks split each batch by partition id and
+# spill lz4 Arrow-IPC files into per-partition directories; merge tasks then
+# read exactly their bucket. Compared with the built-in sort shuffle this
+# avoids staging the full payload in the object store (whose all-to-all
+# memory reservation throttled upstream reads — see load_events docstring)
+# and maps directly onto shared storage on a multi-node cluster.
+# Task-retry safe: a re-executed spill task writes additional identical
+# rows under fresh names, and the max-version merge collapses duplicates.
+# ---------------------------------------------------------------------------
+
+
+def make_spiller(shuffle_dir: str, num_partitions: int, key: str = "url"):
+    def spill(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.ipc as ipc
+
+        if batch.num_rows == 0:
+            return pa.table({"spilled_rows": pa.array([0], pa.int64())})
+        parts = partition_ids(batch.column(key), num_partitions)
+        order = np.argsort(parts, kind="stable")
+        tbl = batch.take(pa.array(order))
+        sp = parts[order]
+        bounds = np.flatnonzero(np.diff(sp)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(sp)]])
+        opts = ipc.IpcWriteOptions(compression="lz4")
+        tag = uuid.uuid4().hex[:12]
+        for s, e in zip(starts, ends):
+            part = int(sp[s])
+            d = os.path.join(shuffle_dir, f"p{part:05d}")
+            os.makedirs(d, exist_ok=True)
+            piece = tbl.slice(s, e - s)
+            tmp = os.path.join(d, f".{tag}-{s}.arrow.tmp")
+            with ipc.new_file(tmp, piece.schema, options=opts) as w:
+                w.write_table(piece)
+            os.replace(tmp, os.path.join(d, f"{tag}-{s}.arrow"))
+        return pa.table({"spilled_rows": pa.array([batch.num_rows], pa.int64())})
+
+    return spill
+
+
+def read_spilled_partition(shuffle_dir: str, part: int) -> pa.Table | None:
+    import pyarrow.ipc as ipc
+
+    d = os.path.join(shuffle_dir, f"p{part:05d}")
+    if not os.path.isdir(d):
+        return None
+    tables = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".arrow"):
+            with ipc.open_file(os.path.join(d, name)) as r:
+                tables.append(r.read_all())
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="none")
+
+
 SALT_COL = "__salt"
 
 
@@ -273,31 +333,61 @@ def make_merge_apply(
     prior_parts = {int(k): v for k, v in (prior.partitions if prior else {}).items()}
 
     def merge_apply(group: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
         part = int(group.column(part_col)[0].as_py())
         incoming = group.drop_columns([part_col])
-        frames = [incoming]
-        entry = prior_parts.get(part)
-        if entry is not None and entry.rows > 0:
-            committed = pq.read_table(os.path.join(out_dir, entry.file))
-            frames.append(pages_to_merge_frame(committed))
-        merged = pa.concat_tables(frames, promote_options="none")
-        winners = lww_pick(merged, mode=mode)
-        pages = finalize_winners(winners)
-        rel = os.path.join(f"part={part:05d}", f"data-{watermark}.parquet")
-        atomic_write_table(pages, os.path.join(out_dir, rel))
-        checksum = content_checksum(pages.column("url"), pages.column("text"),
-                                    pages.column("seq"))
-        return pa.table(
-            {
-                "part": pa.array([part], pa.int32()),
-                "rows": pa.array([pages.num_rows], pa.int64()),
-                "checksum": pa.array([str(checksum)], pa.string()),
-                "file": pa.array([rel], pa.string()),
-                "watermark": pa.array([watermark], pa.int64()),
-            },
-            schema=SUMMARY_SCHEMA,
-        )
+        return _merge_one_partition(part, [incoming], out_dir, watermark,
+                                    prior_parts, mode)
 
     return merge_apply
+
+
+def _merge_one_partition(part: int, frames: list, out_dir: str, watermark: int,
+                         prior_parts: dict, mode: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    entry = prior_parts.get(part)
+    if entry is not None and entry.rows > 0:
+        committed = pq.read_table(os.path.join(out_dir, entry.file))
+        frames = [*frames, pages_to_merge_frame(committed)]
+    merged = frames[0] if len(frames) == 1 else pa.concat_tables(
+        frames, promote_options="none")
+    winners = lww_pick(merged, mode=mode)
+    pages = finalize_winners(winners)
+    rel = os.path.join(f"part={part:05d}", f"data-{watermark}.parquet")
+    atomic_write_table(pages, os.path.join(out_dir, rel))
+    checksum = content_checksum(pages.column("url"), pages.column("text"),
+                                pages.column("seq"))
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "rows": pa.array([pages.num_rows], pa.int64()),
+            "checksum": pa.array([str(checksum)], pa.string()),
+            "file": pa.array([rel], pa.string()),
+            "watermark": pa.array([watermark], pa.int64()),
+        },
+        schema=SUMMARY_SCHEMA,
+    )
+
+
+def make_spill_merge_apply(
+    shuffle_dir: str,
+    out_dir: str,
+    watermark: int,
+    prior: Manifest | None,
+    mode: str = "replace",
+):
+    """Merge-apply fed by the file-bucket shuffle: each task reads exactly its
+    partition's spilled IPC files (plus the committed partition file) and
+    produces the same summary rows as the sort-shuffle route."""
+    prior_parts = {int(k): v for k, v in (prior.partitions if prior else {}).items()}
+
+    def merge_from_spill(batch: pa.Table) -> pa.Table:
+        out = []
+        for part in batch.column("part").to_pylist():
+            incoming = read_spilled_partition(shuffle_dir, int(part))
+            frames = [incoming if incoming is not None else MERGE_SCHEMA.empty_table()]
+            out.append(_merge_one_partition(int(part), frames, out_dir, watermark,
+                                            prior_parts, mode))
+        return pa.concat_tables(out, promote_options="none")
+
+    return merge_from_spill

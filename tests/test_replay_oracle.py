@@ -78,6 +78,32 @@ def test_delete_winners_absent(replayed, tiny_corpus, tiny_oracle):
     assert not (deleted_finals & set(got))
 
 
+def test_single_pass_path_matches_oracle(tiny_corpus, tiny_oracle, tmp_path):
+    """The non-late-materialized route (payload through the shuffle) must give
+    the identical result — the two physical plans share one logical merge."""
+    out = str(tmp_path / "lake_sp")
+    replay(tiny_corpus, out, EngineConfig(num_partitions=8, late_materialization=False))
+    got = _lake_by_url(out)
+    assert {u: r.text for u, r in got.items()} == \
+        {u: o["text"] for u, o in tiny_oracle.items()}
+
+
+def test_file_shuffle_path_matches_oracle(tiny_corpus, tiny_oracle, tmp_path):
+    """Explicit file-bucket shuffle route ≡ sort-shuffle route ≡ oracle, and
+    the shuffle dir is cleaned up after the merge."""
+    import glob
+    import os
+
+    out = str(tmp_path / "lake_fs")
+    replay(tiny_corpus, out, EngineConfig(num_partitions=8,
+                                          late_materialization=False,
+                                          shuffle="file"))
+    got = _lake_by_url(out)
+    assert {u: r.text for u, r in got.items()} == \
+        {u: o["text"] for u, o in tiny_oracle.items()}
+    assert not glob.glob(os.path.join(out, "_shuffle-*"))
+
+
 def test_rmtree_and_fresh_replay_reconverges(tiny_corpus, tiny_oracle, tmp_path):
     out = str(tmp_path / "lake2")
     shutil.rmtree(out, ignore_errors=True)
