@@ -56,6 +56,4 @@ class EngineConfig:
     skew_detect: bool = False
     skew_sample_fraction: float = 0.05
     skew_hot_threshold: float = 0.01  # key freq fraction to count as "hot"
-    # actor-pool sizing for stateful stages
-    merge_concurrency: int | None = None  # None → let Ray size it
     extra: dict = field(default_factory=dict)

@@ -334,6 +334,36 @@ def q_asof_join_orders(sf_dir: str):
         batch_format="pandas")
 
 
+def q_enrich_segment_spend(sf_dir: str):
+    """J1-J4 stateful enrichment actor pool: per-batch lookup against a
+    broadcast dimension (customer → mktsegment) with state built once per
+    actor (the reference did this as async RPC fan-outs with per-process
+    caches, src/tasks/extract/account.py:33-52), then a grouped rollup."""
+    import ray as _ray
+
+    from ethereum_etl_ray.stages.joins import enrich_with
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = _ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+
+    def lookup(df: pd.DataFrame) -> pd.DataFrame:
+        seg = _ray.get(ref)
+        df = df.copy()
+        df["c_mktsegment"] = seg.reindex(df["user_id"].to_numpy()).to_numpy()
+        df["value_c100"] = _cents(df["value"].to_numpy())
+        df["n_events"] = 1
+        return df.groupby("c_mktsegment", as_index=False)[
+            ["n_events", "value_c100"]].sum()
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return (
+        enrich_with(ev, lookup, concurrency=4, batch_size=4096)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value_c100", alias_name="value_c100"))
+    )
+
+
 def q_topk_orders(sf_dir: str):
     """Global top-k by sort+limit (absent in the reference, SURVEY §2.8)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
@@ -601,6 +631,7 @@ QUERIES = {
     "broadcast_join_brand_rev": q_broadcast_join_brand_rev,
     "hash_join_segment_status": q_hash_join_segment_status,
     "asof_join_orders": q_asof_join_orders,
+    "enrich_segment_spend": q_enrich_segment_spend,
     "topk_orders": q_topk_orders,
     "window_hourly": q_window_hourly,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -744,6 +775,12 @@ ORACLE_SQL = {
           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
           FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "enrich_segment_spend": """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c100
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
     "topk_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice
