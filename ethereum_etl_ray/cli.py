@@ -93,6 +93,7 @@ def cmd_inspect(args):
         "merge_mode": m.merge_mode,
         "partitions": len(m.partitions),
         "rows": total,
+        "metrics": m.metrics,
         "schema": {f: str(lake.schema().base_schema.field(f).type)
                    for f in lake.schema().names},
         "sample": [{k: (v if not isinstance(v, bytes) else f"<{len(v)}B>")

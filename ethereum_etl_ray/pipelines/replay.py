@@ -158,11 +158,17 @@ def replay(
     watermark: int | None = None,
 ) -> ReplayResult:
     """Replay the corpus change log into the lake at ``out_dir`` (resumable)."""
+    import time as _time
+
+    t_start = _time.perf_counter()
     cfg = config or EngineConfig()
     prior = load_manifest(out_dir)
     target_wm = corpus.watermark if watermark is None else watermark
     if prior is not None and prior.watermark >= target_wm:
         return ReplayResult(out_dir, prior, 0, len(prior.partitions))
+    metrics: dict = {"route": "late" if cfg.late_materialization
+                     else f"single_{cfg.shuffle}",
+                     "resumed_from": seq_gt_val if (seq_gt_val := (prior.watermark if prior else None)) is not None else -1}
 
     seq_gt = prior.watermark if prior is not None else None
     # drop the upper-bound filter when it covers the whole log (row-level
@@ -174,6 +180,8 @@ def replay(
     if cfg.late_materialization:
         winner_seqs, snap_urls = _elect_winners(corpus, cfg, seq_gt, seq_le,
                                                 use_snapshot)
+        metrics["pass1_sec"] = round(_time.perf_counter() - t_start, 3)
+        metrics["winners"] = int(len(winner_seqs))
         sref = ray.put(winner_seqs)
 
         def keep_winners(batch):
@@ -233,7 +241,7 @@ def replay(
 
         if shuffle_dir is not None:
             return _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm,
-                                            prior, cfg)
+                                            prior, cfg, metrics, t_start)
 
         if cfg.skew_detect:
             ds = _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, target_wm)
@@ -248,16 +256,18 @@ def replay(
         .map_groups(merge_apply, batch_format="pyarrow")
         .to_pandas()  # tiny: one row per touched partition
     )
-    return _commit(out_dir, target_wm, prior, cfg, summaries)
+    metrics["wall_sec"] = round(_time.perf_counter() - t_start, 3)
+    return _commit(out_dir, target_wm, prior, cfg, summaries, metrics)
 
 
-def _commit(out_dir, target_wm, prior, cfg, summaries) -> ReplayResult:
+def _commit(out_dir, target_wm, prior, cfg, summaries, metrics=None) -> ReplayResult:
     manifest = Manifest(
         watermark=target_wm,
         schema_version=LATEST_EVENT_VERSION,
         num_partitions=cfg.num_partitions,
         merge_mode=cfg.merge_mode,
         partitions=dict(prior.partitions) if prior is not None else {},
+        metrics=metrics or {},
     )
     for row in summaries.itertuples(index=False):
         manifest.partitions[str(int(row.part))] = PartitionEntry(
@@ -269,16 +279,20 @@ def _commit(out_dir, target_wm, prior, cfg, summaries) -> ReplayResult:
     return ReplayResult(out_dir, manifest, len(summaries), skipped)
 
 
-def _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm, prior, cfg
-                             ) -> ReplayResult:
+def _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm, prior, cfg,
+                             metrics=None, t_start=None) -> ReplayResult:
     """Consume the spill stage (barrier: every bucket file durable), then run
     one merge task per populated partition reading exactly its bucket."""
     import shutil
+    import time as _time
 
     from ethereum_etl_ray.stages.merge import make_spill_merge_apply
 
+    metrics = metrics if metrics is not None else {}
+    t_start = t_start if t_start is not None else _time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
     ds.count()  # barrier — drives the spill to completion
+    metrics["spill_sec"] = round(_time.perf_counter() - t_start, 3)
     populated = sorted(
         int(name[1:]) for name in os.listdir(shuffle_dir)
     ) if os.path.isdir(shuffle_dir) else []
@@ -301,7 +315,8 @@ def _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm, prior, cfg
         summaries = pd.DataFrame(columns=["part", "rows", "checksum", "file",
                                           "watermark"])
     shutil.rmtree(shuffle_dir, ignore_errors=True)
-    return _commit(out_dir, target_wm, prior, cfg, summaries)
+    metrics["wall_sec"] = round(_time.perf_counter() - t_start, 3)
+    return _commit(out_dir, target_wm, prior, cfg, summaries, metrics)
 
 
 SLIM_COLS = ["url", "warc_ts", "seq", "op"]

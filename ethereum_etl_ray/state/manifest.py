@@ -43,6 +43,9 @@ class Manifest:
     num_partitions: int = 0
     merge_mode: str = "replace"
     partitions: dict[str, PartitionEntry] = field(default_factory=dict)  # str(part) → entry
+    # run metrics of the replay that produced this watermark (north_rule:
+    # "per-partition lineage + metrics"): phase durations, row counts, route
+    metrics: dict = field(default_factory=dict)
 
     def entry(self, part: int) -> PartitionEntry | None:
         return self.partitions.get(str(part))
