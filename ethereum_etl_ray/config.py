@@ -48,6 +48,16 @@ class EngineConfig:
     # per-node local NVMe, or shared storage when merge tasks may land on
     # other nodes.
     shuffle_scratch: str | None = None
+    # Pass-2 winner filter: "exact" broadcasts the winner-seq array (O(#keys)
+    # driver memory); above this many winners a Bloom filter is broadcast
+    # instead — no false negatives, and false-positive rows simply lose the
+    # LWW merge, so correctness is unaffected while the broadcast stays O(MB).
+    winner_bloom_threshold: int = 2_000_000
+    # Quarantine malformed events (null url / unknown op) into
+    # out_dir/_deadletter instead of failing the replay (the reference RAISES
+    # on malformed rows, src/tasks/extract/transfer.py:25-27 — a single bad
+    # record would kill a 10^10-event job).
+    quarantine: bool = True
     # LWW ("replace", reference INSERT OR REPLACE) vs first-writer-wins
     # ("ignore", reference INSERT OR IGNORE, src/repositories/sqlite/base.py:159-172)
     merge_mode: str = "replace"

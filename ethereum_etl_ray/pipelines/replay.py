@@ -177,21 +177,42 @@ def replay(
     use_snapshot = (prior is None and corpus.snapshot_dir
                     and os.path.isdir(corpus.snapshot_dir))
 
+    validate = _make_validator(out_dir) if cfg.quarantine else None
+
     if cfg.late_materialization:
         winner_seqs, snap_urls = _elect_winners(corpus, cfg, seq_gt, seq_le,
                                                 use_snapshot)
         metrics["pass1_sec"] = round(_time.perf_counter() - t_start, 3)
         metrics["winners"] = int(len(winner_seqs))
-        sref = ray.put(winner_seqs)
+        use_bloom = len(winner_seqs) > cfg.winner_bloom_threshold
+        metrics["winner_filter"] = "bloom" if use_bloom else "exact"
+        if use_bloom:
+            # O(MB) broadcast at any key count: false positives just lose the
+            # LWW merge downstream, false negatives cannot occur
+            from ethereum_etl_ray.state.bloom import BloomFilter
 
-        def keep_winners(batch):
-            import pyarrow as _pa
+            bf = BloomFilter(capacity=len(winner_seqs), fp_rate=0.001)
+            bf.add_many(winner_seqs.astype(object))
+            sref = ray.put(bf)
 
-            keep = np.isin(batch.column("seq").to_numpy(), ray.get(sref))
-            return batch.filter(_pa.array(keep))
+            def keep_winners(batch):
+                import pyarrow as _pa
 
+                seqs = batch.column("seq").to_numpy()
+                keep = ray.get(sref).contains_many(seqs.astype(object))
+                return batch.filter(_pa.array(keep))
+        else:
+            sref = ray.put(winner_seqs)
+
+            def keep_winners(batch):
+                import pyarrow as _pa
+
+                keep = np.isin(batch.column("seq").to_numpy(), ray.get(sref))
+                return batch.filter(_pa.array(keep))
+
+        fns = ([validate] if validate else []) + [keep_winners, events_to_merge_frame]
         ds = load_events(corpus.event_dirs, seq_gt=seq_gt, seq_le=seq_le,
-                         branch_fns=(keep_winners, events_to_merge_frame))
+                         branch_fns=tuple(fns))
         if use_snapshot:
             uref = ray.put(snap_urls)
 
@@ -209,7 +230,8 @@ def replay(
                                     zero_copy_batch=True)
             ds = ds.union(snap)
     else:
-        branch = [events_to_merge_frame, make_combiner(mode=cfg.merge_mode)]
+        branch = ([validate] if validate else []) + [
+            events_to_merge_frame, make_combiner(mode=cfg.merge_mode)]
         shuffle_dir = None
         spiller = None
         if cfg.shuffle == "file":
@@ -319,6 +341,57 @@ def _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm, prior, cfg,
     return _commit(out_dir, target_wm, prior, cfg, summaries, metrics)
 
 
+_VALID_OPS = ("insert", "update", "delete")
+
+
+def _valid_mask(batch: pa.Table):
+    return pc.and_(
+        pc.and_(pc.is_valid(batch.column("url")), pc.is_valid(batch.column("seq"))),
+        pc.and_(pc.is_valid(batch.column("warc_ts")),
+                pc.is_in(batch.column("op"), value_set=pa.array(list(_VALID_OPS)))),
+    )
+
+
+def _drop_invalid(batch: pa.Table) -> pa.Table:
+    """Slim-pass validity filter (drop only — pass 2's validator owns the
+    dead-letter spill). Needed so a malformed row can never win an election
+    and then vanish in pass 2, erasing a valid earlier version."""
+    return batch.filter(_valid_mask(batch))
+
+
+def _make_validator(out_dir: str):
+    """Dead-letter quarantine (fused into the read branch): rows with a null
+    url/seq/warc_ts or an unknown op are spilled to ``out_dir/_deadletter``
+    and dropped from the stream instead of failing the job (the reference
+    raises on malformed rows, ``src/tasks/extract/transfer.py:25-27``)."""
+    dl_dir = os.path.join(out_dir, "_deadletter")
+
+    def validate(batch: pa.Table) -> pa.Table:
+        ok = _valid_mask(batch)
+        if bool(pc.all(ok).as_py() if batch.num_rows else True):
+            return batch
+        import uuid
+
+        bad = batch.filter(pc.invert(ok))
+        os.makedirs(dl_dir, exist_ok=True)
+        pq.write_table(bad, os.path.join(dl_dir, f"dl-{uuid.uuid4().hex[:12]}.parquet"))
+        return batch.filter(ok)
+
+    return validate
+
+
+def read_dead_letters(out_dir: str) -> pa.Table | None:
+    dl_dir = os.path.join(out_dir, "_deadletter")
+    if not os.path.isdir(dl_dir):
+        return None
+    files = [os.path.join(dl_dir, f) for f in sorted(os.listdir(dl_dir))
+             if f.endswith(".parquet")]
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files],
+                            promote_options="default")
+
+
 SLIM_COLS = ["url", "warc_ts", "seq", "op"]
 
 
@@ -359,6 +432,9 @@ def _elect_winners(corpus, cfg, seq_gt, seq_le, use_snapshot):
     # combiner fused into the read branch (see load_events docstring)
     slim = slim.map_batches(lambda t: t.select(SLIM_COLS), batch_format="pyarrow",
                             zero_copy_batch=True)
+    if getattr(cfg, "quarantine", True):
+        slim = slim.map_batches(_drop_invalid, batch_format="pyarrow",
+                                zero_copy_batch=True)
     slim = slim.map_batches(comb, batch_format="pyarrow",
                             batch_size=cfg.batch_size_rows, zero_copy_batch=True)
     # cascaded combine: re-batch 16× larger and reduce again. With Zipf keys a
