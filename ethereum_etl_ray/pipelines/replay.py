@@ -166,6 +166,21 @@ def replay(
     target_wm = corpus.watermark if watermark is None else watermark
     if prior is not None and prior.watermark >= target_wm:
         return ReplayResult(out_dir, prior, 0, len(prior.partitions))
+    if prior is not None:
+        # partition layout and merge mode are fixed at lake creation: resuming
+        # with a different hash fan-out would route a url's new events to a
+        # different partition than its committed row, duplicating keys; a mode
+        # flip would silently change which version wins
+        if prior.num_partitions != cfg.num_partitions:
+            raise ValueError(
+                f"lake at {out_dir} was committed with num_partitions="
+                f"{prior.num_partitions}; resuming with {cfg.num_partitions} "
+                "would split keys across layouts (repartition via a fresh "
+                "full replay instead)")
+        if prior.merge_mode != cfg.merge_mode:
+            raise ValueError(
+                f"lake merge_mode is {prior.merge_mode!r}; cannot resume with "
+                f"{cfg.merge_mode!r}")
     metrics: dict = {"route": "late" if cfg.late_materialization
                      else f"single_{cfg.shuffle}",
                      "resumed_from": seq_gt_val if (seq_gt_val := (prior.watermark if prior else None)) is not None else -1}

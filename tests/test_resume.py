@@ -97,6 +97,22 @@ def test_fresh_vs_resumed_manifests_agree_per_partition(tiny_corpus, tmp_path_fa
            {k: (v.rows, v.checksum) for k, v in mb.partitions.items()}
 
 
+def test_resume_rejects_layout_or_mode_change(tiny_corpus, tmp_path_factory):
+    """Resuming with a different hash fan-out or merge mode must refuse —
+    either would silently corrupt the keyed layout / winner semantics."""
+    import pytest
+
+    out = str(tmp_path_factory.mktemp("layout"))
+    mid = tiny_corpus.watermark // 2
+    replay(tiny_corpus, out, EngineConfig(num_partitions=8), watermark=mid)
+    with pytest.raises(ValueError, match="num_partitions"):
+        replay(tiny_corpus, out, EngineConfig(num_partitions=16))
+    with pytest.raises(ValueError, match="merge_mode"):
+        replay(tiny_corpus, out, EngineConfig(num_partitions=8, merge_mode="ignore"))
+    # unchanged config resumes fine
+    replay(tiny_corpus, out, EngineConfig(num_partitions=8))
+
+
 def test_ignore_mode_first_writer_wins_end_to_end(tiny_corpus, tmp_path_factory):
     """INSERT OR IGNORE semantics end-to-end (reference
     src/repositories/sqlite/base.py:159-172): with the snapshot disabled, every
