@@ -582,6 +582,21 @@ def q_cdc_resume_tail(sf_dir: str):
     return _lake_result(out)
 
 
+def q_cdc_bulk_load(sf_dir: str):
+    """Bulk load: insert-only unique-key log via the single-pass route and
+    the explicit file-bucket shuffle (every event survives, is extracted and
+    written). The scaling-bench workload, driver-checkable at small scale."""
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.replay import replay
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir, events_per_doc=6.0, unique_urls=True)
+    out = _cdc_out_dir(sf_dir, "bulk")
+    replay(corpus, out, EngineConfig(num_partitions=16, late_materialization=False,
+                                     shuffle="file"))
+    return _lake_result(out)
+
+
 def q_schema_evolution_audit(sf_dir: str):
     """Conform-stage audit: events per schema generation after unification
     (added column null-rate proves the in-flight rewrite)."""
@@ -650,6 +665,7 @@ QUERIES = {
     "cdc_replay_full": q_cdc_replay_full,
     "cdc_replay_ignore": q_cdc_replay_ignore,
     "cdc_resume_tail": q_cdc_resume_tail,
+    "cdc_bulk_load": q_cdc_bulk_load,
     "schema_evolution_audit": q_schema_evolution_audit,
 }
 

@@ -51,7 +51,7 @@ ORACLED = [
 ROWS_ONLY = ["winnow_fingerprint", "minhash_lsh_pairs", "simhash_pairs",
              "ngram_jaccard_pairs", "cms_heavy_hitters", "random_sample",
              "cdc_replay_full", "cdc_replay_ignore", "cdc_resume_tail",
-             "schema_evolution_audit"]
+             "cdc_bulk_load", "schema_evolution_audit"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
