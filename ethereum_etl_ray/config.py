@@ -48,6 +48,10 @@ class EngineConfig:
     # per-node local NVMe, or shared storage when merge tasks may land on
     # other nodes.
     shuffle_scratch: str | None = None
+    # Must be set True (with shuffle_scratch on NFS/shared storage) to run the
+    # file shuffle on a multi-node cluster — node-local scratch would silently
+    # lose buckets spilled on other nodes, so replay fails fast otherwise.
+    shuffle_scratch_shared: bool = False
     # Pass-2 winner filter: "exact" broadcasts the winner-seq array (O(#keys)
     # driver memory); above this many winners a Bloom filter is broadcast
     # instead — no false negatives, and false-positive rows simply lose the

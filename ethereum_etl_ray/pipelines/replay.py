@@ -185,6 +185,20 @@ def replay(
                      else f"single_{cfg.shuffle}",
                      "resumed_from": seq_gt_val if (seq_gt_val := (prior.watermark if prior else None)) is not None else -1}
 
+    from ethereum_etl_ray.state.manifest import acquire_replay_lock, release_replay_lock
+
+    lock = acquire_replay_lock(out_dir)
+    try:
+        return _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
+                              t_start)
+    finally:
+        release_replay_lock(lock)
+
+
+def _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
+                   t_start) -> ReplayResult:
+    import time as _time
+
     seq_gt = prior.watermark if prior is not None else None
     # drop the upper-bound filter when it covers the whole log (row-level
     # filtering in the scan is pure overhead then)
@@ -250,15 +264,28 @@ def replay(
         shuffle_dir = None
         spiller = None
         if cfg.shuffle == "file":
+            import hashlib
             import shutil
 
             from ethereum_etl_ray.stages.merge import make_spiller
 
+            # node-local scratch silently loses other nodes' buckets on a
+            # multi-node cluster: fail fast unless the operator asserts the
+            # scratch dir is on shared storage (NFS/FSx/…)
+            alive_nodes = sum(1 for n in ray.nodes() if n.get("Alive", False))
+            if alive_nodes > 1 and not cfg.shuffle_scratch_shared:
+                raise ValueError(
+                    "shuffle='file' on a multi-node cluster requires "
+                    "shuffle_scratch on SHARED storage; set "
+                    "EngineConfig(shuffle_scratch=<shared path>, "
+                    "shuffle_scratch_shared=True)")
             scratch = cfg.shuffle_scratch or (
                 "/dev/shm/webcdc_shuffle" if os.path.isdir("/dev/shm") else out_dir)
             os.makedirs(scratch, exist_ok=True)
-            shuffle_dir = os.path.join(
-                scratch, f"shuf-{abs(hash(os.path.abspath(out_dir))) % 10**8}-{target_wm}")
+            # stable digest (not the per-process-salted builtin hash) so the
+            # rmtree below reliably clears residue from prior crashed runs
+            tag = hashlib.sha1(os.path.abspath(out_dir).encode()).hexdigest()[:10]
+            shuffle_dir = os.path.join(scratch, f"shuf-{tag}-{target_wm}")
             shutil.rmtree(shuffle_dir, ignore_errors=True)
             spiller = make_spiller(shuffle_dir, cfg.num_partitions)
             # fused into the read task: payload goes straight from the
@@ -319,7 +346,10 @@ def _commit(out_dir, target_wm, prior, cfg, summaries, metrics=None) -> ReplayRe
 def _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm, prior, cfg,
                              metrics=None, t_start=None) -> ReplayResult:
     """Consume the spill stage (barrier: every bucket file durable), then run
-    one merge task per populated partition reading exactly its bucket."""
+    one merge task per populated partition reading exactly its bucket. The
+    populated-partition set comes from the spill tasks' returned summaries —
+    a driver-local listdir would silently miss buckets spilled on other
+    nodes' scratch."""
     import shutil
     import time as _time
 
@@ -328,11 +358,11 @@ def _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm, prior, cfg,
     metrics = metrics if metrics is not None else {}
     t_start = t_start if t_start is not None else _time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
-    ds.count()  # barrier — drives the spill to completion
+    # barrier — drives the spill to completion and collects the touched
+    # partition ids (tiny: ≤ num_partitions values after the distributed
+    # unique aggregate)
+    populated = sorted(int(p) for p in ds.unique("part"))
     metrics["spill_sec"] = round(_time.perf_counter() - t_start, 3)
-    populated = sorted(
-        int(name[1:]) for name in os.listdir(shuffle_dir)
-    ) if os.path.isdir(shuffle_dir) else []
     if populated:
         merge = make_spill_merge_apply(shuffle_dir, out_dir, target_wm, prior,
                                        mode=cfg.merge_mode)

@@ -3,16 +3,28 @@
 The reference evicts the oldest ``(1 - keep_ratio)`` fraction of rows by its
 wall-clock ``updated_time`` audit column with a global ``ORDER BY … LIMIT``
 delete (``src/repositories/sqlite/base.py:210-227``). Here eviction is
-deterministic (event-time ``warc_ts`` with ``seq`` tie-break — never
-wall-clock) and partition-parallel:
+deterministic (event-time ``(warc_ts, seq, url)`` — never wall-clock; ``url``
+is the unique tie-break so snapshot tie-blocks that share one
+``(warc_ts, seq=-1)`` version cannot be over-evicted) and exact: exactly
+``floor(n * (1 - keep_ratio))`` rows are removed.
 
-  1. one column-pruned scan collects per-partition ``(warc_ts, seq)``
-     histograms → the driver derives the global cutoff version from a small
-     sorted sample union (exact: all version pairs are collected, but only
-     16 bytes/row);
-  2. each partition file is rewritten filtering rows older than the cutoff
-     (a map over partitions — no shuffle, keys never move);
-  3. new manifest committed atomically; superseded files removed by
+The eviction cutoff is found by **distributed k-th-element selection** — the
+driver never materializes the version column (the old implementation read
+``(warc_ts, seq)`` for every lake row, i.e. 160 GB at 10^10 rows):
+
+  1. round 1 (one task per partition): sort the partition's version triples,
+     emit every ``stride``-th triple with its exact local rank plus the
+     partition row count — ``O(sqrt(N·P))`` driver rows total, independent
+     of N·payload;
+  2. the driver merges the rank summaries into guaranteed lower/upper rank
+     bounds and brackets the k-th triple in a window ``[lo, hi]`` of at most
+     ``~2·P·stride = O(sqrt(N·P))`` rows;
+  3. round 2 (one task per partition): exact count of rows below ``lo`` plus
+     the window rows — the driver sorts the small window and reads off the
+     exact k-th triple;
+  4. each partition file is rewritten keeping triples strictly greater than
+     the cutoff (a map over partitions — no shuffle, keys never move);
+  5. new manifest committed atomically; superseded files removed by
      ``gc_uncommitted``.
 """
 
@@ -21,6 +33,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -36,31 +49,166 @@ from ethereum_etl_ray.state.manifest import (
     load_manifest,
 )
 
+_KEY_COLS = ["warc_ts", "seq", "url"]
+_SORT_KEYS = [(c, "ascending") for c in _KEY_COLS]
+
+
+def _triple_lt(t: pa.Table, bound: tuple, *, strict: bool) -> pa.ChunkedArray:
+    """Vectorized lexicographic compare of ``(warc_ts, seq, url)`` columns
+    against a scalar triple: ``< bound`` (strict) or ``<= bound``."""
+    ts, seq, url = t.column("warc_ts"), t.column("seq"), t.column("url")
+    b_ts = pa.scalar(bound[0], pa.timestamp("us"))
+    b_seq, b_url = pa.scalar(int(bound[1])), pa.scalar(str(bound[2]))
+    url_cmp = pc.less(url, b_url) if strict else pc.less_equal(url, b_url)
+    return pc.or_(
+        pc.less(ts, b_ts),
+        pc.and_(pc.equal(ts, b_ts),
+                pc.or_(pc.less(seq, b_seq),
+                       pc.and_(pc.equal(seq, b_seq), url_cmp))),
+    )
+
+
+def _summaries(out_dir: str, entries: list, stride: int) -> pd.DataFrame:
+    """Round 1: per-partition sorted version triples at ``stride`` intervals
+    with exact local ranks. Driver receives O(N/stride) slim rows."""
+    lookup = dict(entries)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = []
+        for part in batch.column("part").to_pylist():
+            entry = lookup[part]
+            t = pq.read_table(os.path.join(out_dir, entry.file), columns=_KEY_COLS)
+            n = t.num_rows
+            if n == 0:
+                continue
+            t = t.sort_by(_SORT_KEYS)
+            idx = np.arange(0, n, stride, dtype=np.int64)
+            if idx[-1] != n - 1:
+                idx = np.append(idx, n - 1)
+            s = t.take(pa.array(idx))
+            s = s.append_column("local_rank", pa.array(idx, pa.int64()))
+            s = s.append_column("part", pa.array(np.full(len(idx), part), pa.int64()))
+            s = s.append_column("part_rows", pa.array(np.full(len(idx), n), pa.int64()))
+            out.append(s)
+        if not out:
+            return pa.table({c: pa.array([], typ) for c, typ in [
+                ("warc_ts", pa.timestamp("us")), ("seq", pa.int64()),
+                ("url", pa.string()), ("local_rank", pa.int64()),
+                ("part", pa.int64()), ("part_rows", pa.int64())]})
+        return pa.concat_tables(out, promote_options="none")
+
+    return (
+        ray.data.from_items([{"part": p} for p, _ in entries])
+        .map_batches(summarize, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(_KEY_COLS, kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def _bracket(samples: pd.DataFrame, k: int, total_rows: int):
+    """From rank summaries, derive ``(lo, hi)`` sample triples guaranteed to
+    bracket the k-th smallest element (1-indexed)."""
+    r = samples["local_rank"].to_numpy()
+    # LB_strict(s_j) = Σ_p latest (local_rank+1) among samples before j —
+    # a guaranteed lower bound on count_lt(s_j)
+    prev_plus1 = samples.groupby("part")["local_rank"].shift().fillna(-1.0) + 1.0
+    delta = (r + 1).astype(np.int64) - prev_plus1.to_numpy().astype(np.int64)
+    lb_excl = np.concatenate([[0], np.cumsum(delta)[:-1]])
+    # UB(s_j) = Σ_p (first local_rank at ≥ j, else part_rows) — a guaranteed
+    # upper bound on count_lt(s_j)
+    next_r = samples.groupby("part")["local_rank"].shift(-1)
+    next_r = next_r.fillna(samples["part_rows"].astype(float)).to_numpy().astype(np.int64)
+    dprime = r - next_r  # ≤ 0
+    ub = total_rows + (np.cumsum(dprime[::-1])[::-1])
+    lo_idx = np.flatnonzero(ub < k)
+    lo_j = int(lo_idx[-1]) if len(lo_idx) else 0  # global min is always safe
+    hi_idx = np.flatnonzero(lb_excl >= k)
+    hi_j = int(hi_idx[0]) if len(hi_idx) else len(samples) - 1  # global max safe
+    row_lo, row_hi = samples.iloc[lo_j], samples.iloc[hi_j]
+    to_triple = lambda row: (row.warc_ts.to_datetime64(), int(row.seq), str(row.url))
+    return to_triple(row_lo), to_triple(row_hi)
+
+
+def _window_pass(out_dir: str, entries: list, lo: tuple, hi: tuple) -> pd.DataFrame:
+    """Round 2: exact per-partition count of triples < lo, plus all triples in
+    ``[lo, hi]`` (the bounded uncertainty window)."""
+    lookup = dict(entries)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = []
+        for part in batch.column("part").to_pylist():
+            entry = lookup[part]
+            t = pq.read_table(os.path.join(out_dir, entry.file), columns=_KEY_COLS)
+            if t.num_rows == 0:
+                continue
+            below = _triple_lt(t, lo, strict=True)
+            n_below = pc.sum(pc.cast(below, pa.int64())).as_py() or 0
+            in_win = pc.and_(pc.invert(below), _triple_lt(t, hi, strict=False))
+            w = t.filter(in_win)
+            w = w.append_column("n_below", pa.array(
+                np.full(w.num_rows, n_below), pa.int64()))
+            if w.num_rows == 0:  # still need the below-count row
+                w = pa.table({"warc_ts": pa.array([None], pa.timestamp("us")),
+                              "seq": pa.array([None], pa.int64()),
+                              "url": pa.array([None], pa.string()),
+                              "n_below": pa.array([n_below], pa.int64())})
+            else:
+                # n_below repeated per row; driver takes first() per partition
+                pass
+            w = w.append_column("part", pa.array(
+                np.full(w.num_rows, part), pa.int64()))
+            out.append(w)
+        if not out:
+            return pa.table({"warc_ts": pa.array([], pa.timestamp("us")),
+                             "seq": pa.array([], pa.int64()),
+                             "url": pa.array([], pa.string()),
+                             "n_below": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        return pa.concat_tables(out, promote_options="none")
+
+    return (
+        ray.data.from_items([{"part": p} for p, _ in entries])
+        .map_batches(scan, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+
 
 def _cutoff_version(out_dir: str, manifest: Manifest, keep_ratio: float):
-    files = manifest.files(out_dir)
-    if not files:
+    """Exact k-th smallest ``(warc_ts, seq, url)`` with k = floor(n·(1-keep)),
+    via two partition-parallel rounds; driver memory O(sqrt(N·P))."""
+    entries = [(int(p), e) for p, e in manifest.partitions.items() if e.rows > 0]
+    if not entries:
         return None
-    versions = ray.data.read_parquet(files, columns=["warc_ts", "seq"]).to_pandas()
-    if versions.empty:
-        return None
-    versions = versions.sort_values(["warc_ts", "seq"]).reset_index(drop=True)
-    n_evict = int(np.floor(len(versions) * (1.0 - keep_ratio)))
+    total = sum(e.rows for _, e in entries)
+    n_evict = int(np.floor(total * (1.0 - keep_ratio)))
     if n_evict <= 0:
         return None
-    row = versions.iloc[n_evict - 1]
-    return row.warc_ts.to_datetime64(), int(row.seq)
+    stride = int(np.clip(np.sqrt(total / max(1, len(entries))), 1, 8192))
+    samples = _summaries(out_dir, entries, stride)
+    if samples.empty:
+        return None
+    lo, hi = _bracket(samples, n_evict, total)
+    win = _window_pass(out_dir, entries, lo, hi)
+    n_below = int(win.groupby("part")["n_below"].first().sum())
+    rows = win.dropna(subset=["url"]).sort_values(_KEY_COLS, kind="stable")
+    pos = n_evict - n_below - 1
+    assert 0 <= pos < len(rows), (
+        f"selection window missed rank {n_evict} (below={n_below}, "
+        f"window={len(rows)})")
+    row = rows.iloc[pos]
+    return row.warc_ts.to_datetime64(), int(row.seq), str(row.url)
 
 
 def apply_retention(out_dir: str, keep_ratio: float = 0.9) -> dict:
-    """Evict the oldest ``1-keep_ratio`` of lake rows. Returns stats."""
+    """Evict the oldest ``1-keep_ratio`` of lake rows (exactly
+    ``floor(n·(1-keep_ratio))`` rows). Returns stats."""
     manifest = load_manifest(out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed manifest in {out_dir}")
     cutoff = _cutoff_version(out_dir, manifest, keep_ratio)
     if cutoff is None:
         return {"evicted": 0, "partitions_rewritten": 0}
-    cut_ts, cut_seq = cutoff
     wm = manifest.watermark
 
     entries = [(int(p), e) for p, e in manifest.partitions.items() if e.rows > 0]
@@ -70,12 +218,7 @@ def apply_retention(out_dir: str, keep_ratio: float = 0.9) -> dict:
         for part in batch.column("part").to_pylist():
             entry = dict(entries)[part]
             t = pq.read_table(os.path.join(out_dir, entry.file))
-            ts = t.column("warc_ts")
-            seq = t.column("seq")
-            newer_ts = pc.greater(ts, pa.scalar(cut_ts, pa.timestamp("us")))
-            eq_ts = pc.equal(ts, pa.scalar(cut_ts, pa.timestamp("us")))
-            tie = pc.and_(eq_ts, pc.greater(seq, pa.scalar(cut_seq)))
-            keep = pc.or_(newer_ts, tie)
+            keep = pc.invert(_triple_lt(t, cutoff, strict=False))
             kept = t.filter(keep)
             rel = os.path.join(f"part={part:05d}", f"data-{wm}-r{int(keep_ratio*100)}.parquet")
             atomic_write_table(kept, os.path.join(out_dir, rel))

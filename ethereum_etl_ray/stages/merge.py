@@ -73,6 +73,11 @@ def lww_pick(
     (ties — duplicate re-deliveries — collapse to one row).
     ``ignore``: keep the min-version row (first writer wins).
     Sort + run-boundary mask; O(n log n), no Python loop.
+
+    Null keys form ONE group (SQL ``PARTITION BY`` semantics): the boundary
+    mask is null-safe — ``pc.not_equal`` yields null when either neighbor is
+    null, which must not silently drop the last non-null key's winner (keys
+    ``['a', None, 'b']`` previously lost ``'b'``).
     """
     n = t.num_rows
     if n <= 1:
@@ -82,9 +87,14 @@ def lww_pick(
     k = t.column(key).combine_chunks()
     if isinstance(k, pa.ChunkedArray):
         k = k.chunk(0) if k.num_chunks == 1 else k.combine_chunks().chunk(0)
-    neq = pc.not_equal(k.slice(0, n - 1), k.slice(1, n)).to_numpy(zero_copy_only=False)
+    a, b = k.slice(0, n - 1), k.slice(1, n)
+    # null-safe boundary: valid-vs-null flip is a boundary; null-vs-null is not
+    # (sort_by places all null keys adjacent at the end, one group)
+    neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(zero_copy_only=False)
+    flip = np.not_equal(pc.is_valid(a).to_numpy(zero_copy_only=False),
+                        pc.is_valid(b).to_numpy(zero_copy_only=False))
     mask = np.empty(n, dtype=bool)
-    mask[: n - 1] = neq
+    mask[: n - 1] = neq | flip
     mask[n - 1] = True
     return t.filter(pa.array(mask))
 
@@ -154,13 +164,20 @@ def lww_merge_dataset(
 
 
 def make_spiller(shuffle_dir: str, num_partitions: int, key: str = "url"):
+    """Spill stage: writes each batch's rows into per-partition bucket files
+    and returns ONE SUMMARY ROW PER TOUCHED PARTITION ``(part, spilled_rows)``
+    — the merge phase derives the populated-partition set from these task
+    outputs (never from a driver-local listdir, which would silently miss
+    buckets spilled on other nodes)."""
+
     def spill(batch: pa.Table) -> pa.Table:
         import uuid
 
         import pyarrow.ipc as ipc
 
         if batch.num_rows == 0:
-            return pa.table({"spilled_rows": pa.array([0], pa.int64())})
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "spilled_rows": pa.array([], pa.int64())})
         parts = partition_ids(batch.column(key), num_partitions)
         order = np.argsort(parts, kind="stable")
         tbl = batch.take(pa.array(order))
@@ -179,7 +196,10 @@ def make_spiller(shuffle_dir: str, num_partitions: int, key: str = "url"):
             with ipc.new_file(tmp, piece.schema, options=opts) as w:
                 w.write_table(piece)
             os.replace(tmp, os.path.join(d, f"{tag}-{s}.arrow"))
-        return pa.table({"spilled_rows": pa.array([batch.num_rows], pa.int64())})
+        return pa.table({
+            "part": pa.array(sp[starts].astype(np.int32), pa.int32()),
+            "spilled_rows": pa.array(ends - starts, pa.int64()),
+        })
 
     return spill
 

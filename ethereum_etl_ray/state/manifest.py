@@ -89,11 +89,63 @@ def atomic_write_table(table, final_path: str) -> None:
     os.replace(tmp, final_path)
 
 
+REPLAY_LOCK = ".replay.lock"
+
+
+def _lock_holder_alive(path: str) -> bool:
+    """True when the lock's recorded pid is a live *other* process. Our own
+    pid or a dead pid marks the lock stale (crashed run) and claimable."""
+    try:
+        pid = int(open(path).read().strip() or -1)
+    except (OSError, ValueError):
+        return False
+    if pid <= 0 or pid == os.getpid():
+        return False
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True
+
+
+def acquire_replay_lock(out_dir: str) -> str:
+    """Advisory write lock so compaction/GC cannot race an in-flight replay
+    (on a cluster ``out_dir`` is shared storage, so the lock file is visible
+    to every driver; the pid liveness check is only meaningful node-local —
+    cross-node stale locks must be removed by the operator)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, REPLAY_LOCK)
+    if os.path.exists(path) and _lock_holder_alive(path):
+        raise RuntimeError(
+            f"another replay holds {path}; concurrent writers would corrupt "
+            "the lake (remove the lock only if that process is gone)")
+    with open(path, "w") as f:
+        f.write(str(os.getpid()))
+        f.flush()
+        os.fsync(f.fileno())
+    return path
+
+
+def release_replay_lock(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+
+
 def gc_uncommitted(out_dir: str) -> list[str]:
     """``compact``-style GC: drop partition files not referenced by the
     committed manifest (orphans from crashed runs / superseded watermarks).
     Reference analogue: ``drop_backup`` (src/repositories/sqlite/base.py:126-136).
+
+    Refuses to run while a live replay holds the lake's replay lock —
+    otherwise GC could delete partition files already renamed into place but
+    not yet referenced by a committed manifest, leaving the next commit
+    pointing at deleted files.
     """
+    lock = os.path.join(out_dir, REPLAY_LOCK)
+    if os.path.exists(lock) and _lock_holder_alive(lock):
+        raise RuntimeError(f"replay in progress ({lock}); refusing to GC")
     m = load_manifest(out_dir)
     keep = {os.path.abspath(p) for p in (m.files(out_dir) if m else [])}
     removed = []

@@ -5,13 +5,18 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import pytest
+
 from ethereum_etl_ray.state.manifest import (
+    REPLAY_LOCK,
     Manifest,
     PartitionEntry,
+    acquire_replay_lock,
     atomic_write_table,
     commit_manifest,
     gc_uncommitted,
     load_manifest,
+    release_replay_lock,
 )
 
 
@@ -51,3 +56,31 @@ def test_gc_removes_orphans_keeps_committed(tmp_path):
     assert any("data-3" in r for r in removed)
     assert os.path.exists(os.path.join(out, "part=00000", "data-5.parquet"))
     assert not os.path.exists(os.path.join(out, "part=00000", "data-3.parquet"))
+
+
+def test_gc_refuses_while_foreign_replay_lock_live(tmp_path):
+    """GC racing an in-flight replay could delete renamed-but-uncommitted
+    partition files; a live foreign lock must abort it."""
+    out = str(tmp_path)
+    commit_manifest(out, Manifest(watermark=1))
+    with open(os.path.join(out, REPLAY_LOCK), "w") as f:
+        f.write("1")  # pid 1: always alive, never ours
+    with pytest.raises(RuntimeError, match="replay in progress"):
+        gc_uncommitted(out)
+    os.remove(os.path.join(out, REPLAY_LOCK))
+    gc_uncommitted(out)  # proceeds once the lock is gone
+
+
+def test_replay_lock_stale_pid_is_claimable(tmp_path):
+    out = str(tmp_path)
+    with open(os.path.join(out, REPLAY_LOCK), "w") as f:
+        f.write("999999999")  # beyond pid_max: dead
+    path = acquire_replay_lock(out)  # steals the stale lock
+    assert open(path).read() == str(os.getpid())
+    # a live foreign holder blocks acquisition
+    with open(path, "w") as f:
+        f.write("1")
+    with pytest.raises(RuntimeError, match="another replay"):
+        acquire_replay_lock(out)
+    release_replay_lock(path)
+    assert not os.path.exists(path)

@@ -78,6 +78,22 @@ def test_lww_pick_duplicate_redelivery_collapses():
     assert out.num_rows == 1
 
 
+def test_lww_pick_null_keys_do_not_drop_neighbors():
+    # keys ['a', None, 'b']: the null neighbor must not erase 'b''s winner,
+    # and null keys collapse to ONE group (SQL PARTITION BY semantics)
+    t = _frame([
+        ("a", 10, 1, "insert", b"a", "en", None),
+        (None, 11, 2, "insert", b"n1", "en", None),
+        (None, 20, 4, "update", b"n2", "en", None),  # null-group winner
+        ("b", 12, 3, "insert", b"b", "en", None),
+    ])
+    out = lww_pick(t)
+    got = {r["url"]: r for r in out.to_pylist()}
+    assert set(got) == {"a", "b", None}
+    assert got["b"]["html"] == b"b"
+    assert got[None]["html"] == b"n2"
+
+
 def test_combiner_is_associative_with_final_pick():
     rows = [("u%d" % (i % 3), i, i, "update", b"h%d" % i, "en", None) for i in range(12)]
     t = _frame(rows)

@@ -22,12 +22,24 @@ def test_retention_keeps_newest_fraction(lake):
     after = load_lake(lake).to_pandas()
     assert stats["evicted"] == n - len(after)
     assert len(after) == n - int(n * 0.2)
-    # exactly the newest rows survive (deterministic version order)
+    # exactly the newest rows survive (deterministic version order,
+    # url as the unique tie-break)
     expect = set(
-        before.sort_values(["warc_ts", "seq"], ascending=False)
+        before.sort_values(["warc_ts", "seq", "url"], ascending=False)
         .head(len(after)).url
     )
     assert set(after.url) == expect
+
+
+def test_retention_exact_within_version_tie_block(lake):
+    """Snapshot-origin rows share one (warc_ts, seq=-1) version; a cutoff
+    landing inside that tie block must still evict EXACTLY floor(n*(1-keep))
+    rows (regression: keep_ratio=0.99 evicted the whole tie block)."""
+    n = load_lake(lake).count()
+    stats = apply_retention(lake, keep_ratio=0.99)
+    expect_evicted = int(n * 0.01)
+    assert stats["evicted"] == expect_evicted
+    assert load_lake(lake).count() == n - expect_evicted
 
 
 def test_retention_noop_at_full_ratio(lake):
