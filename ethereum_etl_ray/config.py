@@ -52,11 +52,18 @@ class EngineConfig:
     # file shuffle on a multi-node cluster — node-local scratch would silently
     # lose buckets spilled on other nodes, so replay fails fast otherwise.
     shuffle_scratch_shared: bool = False
-    # Pass-2 winner filter: "exact" broadcasts the winner-seq array (O(#keys)
-    # driver memory); above this many winners a Bloom filter is broadcast
-    # instead — no false negatives, and false-positive rows simply lose the
-    # LWW merge, so correctness is unaffected while the broadcast stays O(MB).
-    winner_bloom_threshold: int = 2_000_000
+    # Pass-2 winner filter route. At or below this many ESTIMATED events
+    # (slim-scan parquet metadata row count — a free upper bound on winners)
+    # the election result is collected to the driver and broadcast as an
+    # exact seq array (fastest at small scale). Above it the election result
+    # NEVER materializes on the driver: each election group task emits a
+    # per-partition winner Bloom shard, the driver receives ONE summary row
+    # per partition (O(P)), and pass 2 tests each event against its
+    # url-partition's shard. False positives just lose the LWW/FWW merge
+    # downstream; false negatives cannot occur — so correctness is unaffected
+    # while driver memory stays O(P + bloom bits).
+    winner_exact_threshold: int = 2_000_000
+    winner_fp_rate: float = 1e-3
     # Quarantine malformed events (null url / unknown op) into
     # out_dir/_deadletter instead of failing the replay (the reference RAISES
     # on malformed rows, src/tasks/extract/transfer.py:25-27 — a single bad

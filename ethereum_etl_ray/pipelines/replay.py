@@ -45,6 +45,7 @@ import ray
 import ray.data
 
 from ethereum_etl_ray.config import EngineConfig
+from ethereum_etl_ray.functions.hashing import partition_ids
 from ethereum_etl_ray.schemas import EVENTS_SCHEMA_V2, LATEST_EVENT_VERSION
 from ethereum_etl_ray.sources.synth import Corpus
 from ethereum_etl_ray.stages.conform import make_conformer
@@ -209,49 +210,22 @@ def _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
     validate = _make_validator(out_dir) if cfg.quarantine else None
 
     if cfg.late_materialization:
-        winner_seqs, snap_urls = _elect_winners(corpus, cfg, seq_gt, seq_le,
-                                                use_snapshot)
-        metrics["pass1_sec"] = round(_time.perf_counter() - t_start, 3)
-        metrics["winners"] = int(len(winner_seqs))
-        use_bloom = len(winner_seqs) > cfg.winner_bloom_threshold
-        metrics["winner_filter"] = "bloom" if use_bloom else "exact"
-        if use_bloom:
-            # O(MB) broadcast at any key count: false positives just lose the
-            # LWW merge downstream, false negatives cannot occur
-            from ethereum_etl_ray.state.bloom import BloomFilter
-
-            bf = BloomFilter(capacity=len(winner_seqs), fp_rate=0.001)
-            bf.add_many(winner_seqs.astype(object))
-            sref = ray.put(bf)
-
-            def keep_winners(batch):
-                import pyarrow as _pa
-
-                seqs = batch.column("seq").to_numpy()
-                keep = ray.get(sref).contains_many(seqs.astype(object))
-                return batch.filter(_pa.array(keep))
+        est_events = _estimate_event_rows(corpus)
+        if est_events > cfg.winner_exact_threshold:
+            keep_winners, keep_snap, n_winners = _elect_winners_sharded(
+                corpus, cfg, seq_gt, seq_le, use_snapshot)
+            metrics["winner_filter"] = "sharded_bloom"
         else:
-            sref = ray.put(winner_seqs)
-
-            def keep_winners(batch):
-                import pyarrow as _pa
-
-                keep = np.isin(batch.column("seq").to_numpy(), ray.get(sref))
-                return batch.filter(_pa.array(keep))
+            keep_winners, keep_snap, n_winners = _elect_winners_exact(
+                corpus, cfg, seq_gt, seq_le, use_snapshot)
+            metrics["winner_filter"] = "exact"
+        metrics["pass1_sec"] = round(_time.perf_counter() - t_start, 3)
+        metrics["winners"] = n_winners
 
         fns = ([validate] if validate else []) + [keep_winners, events_to_merge_frame]
         ds = load_events(corpus.event_dirs, seq_gt=seq_gt, seq_le=seq_le,
                          branch_fns=tuple(fns))
         if use_snapshot:
-            uref = ray.put(snap_urls)
-
-            def keep_snap(batch):
-                import pyarrow as _pa
-
-                keep = np.isin(
-                    batch.column("url").to_numpy(zero_copy_only=False), ray.get(uref))
-                return batch.filter(_pa.array(keep))
-
             snap = ray.data.read_parquet(corpus.snapshot_dir, override_num_blocks=4)
             snap = snap.map_batches(keep_snap, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -446,20 +420,21 @@ def _slim_event_files(corpus) -> list[str]:
             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
 
 
-def _elect_winners(corpus, cfg, seq_gt, seq_le, use_snapshot):
-    """Pass 1 of the late-materialized merge: elect the winning (max/min
-    version) event per url using ONLY the ~20-byte version-tuple columns.
+def _estimate_event_rows(corpus) -> int:
+    """Free upper bound on pass-1 winners: total event rows from Parquet
+    footers (no data read)."""
+    return sum(pq.read_metadata(f).num_rows for f in _slim_event_files(corpus))
 
-    The slim columns are schema-stable across event generations, so both
-    generations read as one column-pruned scan (no conform needed). Returns
-    (winner seq values to keep in pass 2, snapshot urls whose snapshot row is
-    the winner).
 
-    Scale note: the broadcast winner-seq set is O(#keys); beyond ~10^8 keys
-    swap the broadcast for a second shuffle join of winners against the log
-    (same partitioner) — the pass-1 election itself already scales.
+def _slim_winner_pipeline(corpus, cfg, seq_gt, seq_le, use_snapshot):
+    """Pass 1 of the late-materialized merge: the slim election pipeline up to
+    (and including) the hash partitioner — shared by both winner routes.
+
+    Elects the winning (max/min version) event per url using ONLY the
+    ~20-byte version-tuple columns. The slim columns are schema-stable across
+    event generations, so both generations read as one column-pruned scan
+    (no conform needed).
     """
-    from ethereum_etl_ray.stages.merge import lww_pick
     from ethereum_etl_ray.stages.sketch import sketch_heavy_hitters
 
     expr = None
@@ -513,17 +488,120 @@ def _elect_winners(corpus, cfg, seq_gt, seq_le, use_snapshot):
             cold_ds = semi_anti_filter(slim, hot, on="url", anti=True)
             slim = cold_ds.union(salted_reduce(hot_ds, mode=cfg.merge_mode))
 
-    slim = slim.map_batches(make_partitioner(cfg.num_partitions),
+    return slim.map_batches(make_partitioner(cfg.num_partitions),
                             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _elect_winners_exact(corpus, cfg, seq_gt, seq_le, use_snapshot):
+    """Small-scale winner route: election result collected to the driver and
+    broadcast as exact arrays (``np.isin`` per batch). O(#keys) driver memory
+    — above ``cfg.winner_exact_threshold`` estimated events the sharded route
+    below is used instead. Returns ``(keep_winners, keep_snap, n_winners)``;
+    both filters are plain fns so they fuse into the ReadParquet branch."""
+    from ethereum_etl_ray.stages.merge import lww_pick
+
+    slim = _slim_winner_pipeline(corpus, cfg, seq_gt, seq_le, use_snapshot)
 
     def pick(group: pa.Table) -> pa.Table:
         return lww_pick(group.drop_columns([PART_COL]), mode=cfg.merge_mode)
 
     winners = slim.groupby(PART_COL).map_groups(pick, batch_format="pyarrow") \
         .to_pandas()  # one row per distinct key
-    winner_seqs = winners.seq.to_numpy()
+    seqs = winners.seq.to_numpy()
+    winner_seqs = seqs[seqs >= 0]
     snap_urls = winners[winners.seq < 0].url.to_numpy()
-    return winner_seqs[winner_seqs >= 0], snap_urls
+    sref = ray.put(winner_seqs)
+    uref = ray.put(snap_urls)
+
+    def keep_winners(batch):
+        keep = np.isin(batch.column("seq").to_numpy(), ray.get(sref))
+        return batch.filter(pa.array(keep))
+
+    def keep_snap(batch):
+        keep = np.isin(
+            batch.column("url").to_numpy(zero_copy_only=False), ray.get(uref))
+        return batch.filter(pa.array(keep))
+
+    return keep_winners, keep_snap, int(len(winner_seqs))
+
+
+def _elect_winners_sharded(corpus, cfg, seq_gt, seq_le, use_snapshot):
+    """Web-scale winner route (the fix for the O(#keys) driver
+    materialization): the election result NEVER leaves the cluster.
+
+    Each per-partition election group task picks its winners and emits ONE
+    summary row ``(part, n_winners, n_snap, seq_bloom, url_bloom)`` — the
+    Bloom shards are built where the winners already are. The driver receives
+    exactly ``num_partitions`` rows (O(P), regardless of key count), ships
+    the shard dict once via ``ray.put``, and pass 2 tests each event's seq
+    against its url-partition's shard (events for url u and u's winner hash
+    to the same partition, so the lookup is consistent).
+
+    Correctness: Bloom false negatives cannot occur; a false-positive loser
+    row merely re-enters the merge and loses the max/min-version pick there
+    (both LWW and FWW modes), so the final lake is byte-identical to the
+    exact route — verified by tests/test_quarantine.py against the
+    sequential-replay oracle. Cost: ~14.4 bits/winner of broadcast at
+    fp=1e-3 ≈ 180 MB per 10^8 keys, plus fp·losers wasted merge rows.
+    Reference semantics preserved: src/repositories/sqlite/base.py:159-172.
+    """
+    from ethereum_etl_ray.state.bloom import BloomFilter
+    from ethereum_etl_ray.stages.merge import lww_pick
+
+    slim = _slim_winner_pipeline(corpus, cfg, seq_gt, seq_le, use_snapshot)
+    fp = cfg.winner_fp_rate
+
+    def pick_to_shard(group: pa.Table) -> pa.Table:
+        part = int(group.column(PART_COL)[0].as_py())
+        winners = lww_pick(group.drop_columns([PART_COL]), mode=cfg.merge_mode)
+        seqs = winners.column("seq").to_numpy()
+        ev = seqs[seqs >= 0]
+        sb = BloomFilter(capacity=max(64, len(ev)), fp_rate=fp)
+        if len(ev):
+            sb.add_many(ev.astype(object))
+        su = winners.filter(pc.less(winners.column("seq"), pa.scalar(0))) \
+            .column("url").to_numpy(zero_copy_only=False)
+        ub = BloomFilter(capacity=max(64, len(su)), fp_rate=fp)
+        if len(su):
+            ub.add_many(su)
+        return pa.table({
+            "part": pa.array([part], pa.int32()),
+            "n_winners": pa.array([len(ev)], pa.int64()),
+            "n_snap": pa.array([len(su)], pa.int64()),
+            "seq_bloom": pa.array([sb.serialize()], pa.binary()),
+            "url_bloom": pa.array([ub.serialize()], pa.binary()),
+        })
+
+    shards = slim.groupby(PART_COL).map_groups(
+        pick_to_shard, batch_format="pyarrow").take_all()  # ≤ P summary rows
+    n_winners = int(sum(r["n_winners"] for r in shards))
+    sref = ray.put({int(r["part"]): r["seq_bloom"] for r in shards})
+    uref = ray.put({int(r["part"]): r["url_bloom"] for r in shards
+                    if r["n_snap"] > 0})
+    num_partitions = cfg.num_partitions
+
+    def _filter_by_shard(batch, ref, test_vals):
+        shard_bytes = ray.get(ref)
+        parts = partition_ids(batch.column("url"), num_partitions)
+        keep = np.zeros(len(parts), dtype=bool)
+        for part in np.unique(parts):
+            raw = shard_bytes.get(int(part))
+            if raw is None:
+                continue
+            m = parts == part
+            bf = BloomFilter.deserialize(raw, copy=False)  # zero-copy bits
+            keep[m] = bf.contains_many(test_vals[m])
+        return batch.filter(pa.array(keep))
+
+    def keep_winners(batch):
+        vals = batch.column("seq").to_numpy().astype(object)
+        return _filter_by_shard(batch, sref, vals)
+
+    def keep_snap(batch):
+        vals = batch.column("url").to_numpy(zero_copy_only=False)
+        return _filter_by_shard(batch, uref, vals)
+
+    return keep_winners, keep_snap, n_winners
 
 
 def _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, seq_le):

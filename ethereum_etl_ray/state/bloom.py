@@ -57,9 +57,13 @@ class BloomFilter:
                 + self.n_hashes.to_bytes(2, "little") + self.bits.tobytes())
 
     @classmethod
-    def deserialize(cls, raw: bytes) -> "BloomFilter":
+    def deserialize(cls, raw: bytes, copy: bool = True) -> "BloomFilter":
+        """``copy=False`` keeps the bitset zero-copy over ``raw`` (read-only:
+        fine for ``contains_many``, not for ``add_many``) — used by per-batch
+        membership filters that deserialize broadcast shards in the hot path."""
         out = cls.__new__(cls)
         out.n_bits = int.from_bytes(raw[:8], "little")
         out.n_hashes = int.from_bytes(raw[8:10], "little")
-        out.bits = np.frombuffer(raw[10:], dtype=np.uint8).copy()
+        bits = np.frombuffer(raw[10:], dtype=np.uint8)
+        out.bits = bits.copy() if copy else bits
         return out

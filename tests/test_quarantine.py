@@ -68,11 +68,32 @@ def test_quarantine_off_keeps_stream_untouched(tiny_corpus, tmp_path):
     assert read_dead_letters(out) is None
 
 
-def test_bloom_winner_filter_matches_exact(tiny_corpus, tiny_oracle, tmp_path):
-    """Force the Bloom route (threshold 0) — byte-identical result."""
-    out = str(tmp_path / "bloomlake")
+def test_sharded_winner_route_matches_exact(tiny_corpus, tiny_oracle, tmp_path):
+    """Force the distributed winner route (threshold 0: every election stays
+    in the cluster; the driver receives only num_partitions Bloom-shard
+    summary rows, never the O(#keys) winner set) — byte-identical result."""
+    out = str(tmp_path / "shardlake")
     r = replay(tiny_corpus, out, EngineConfig(num_partitions=4,
-                                              winner_bloom_threshold=0))
-    assert r.manifest.metrics.get("winner_filter") == "bloom"
+                                              winner_exact_threshold=0))
+    assert r.manifest.metrics.get("winner_filter") == "sharded_bloom"
+    # winners counts every event-won key (incl. tombstoned ones) — at least
+    # all surviving event-origin keys
+    assert r.manifest.metrics.get("winners") >= sum(
+        1 for o in tiny_oracle.values() if o["seq"] >= 0)
     df = load_lake(out).to_pandas()
     assert dict(zip(df.url, df.text)) == {u: o["text"] for u, o in tiny_oracle.items()}
+
+
+def test_sharded_winner_route_fww_matches_exact(tiny_corpus, tmp_path):
+    """Sharded route under first-writer-wins: a Bloom false positive must
+    still LOSE the min-version in-partition pick — compare against the exact
+    route's lake, byte for byte."""
+    cfg_kw = dict(num_partitions=4, merge_mode="ignore")
+    out_a = str(tmp_path / "fww_exact")
+    out_b = str(tmp_path / "fww_shard")
+    replay(tiny_corpus, out_a, EngineConfig(**cfg_kw))
+    r = replay(tiny_corpus, out_b, EngineConfig(**cfg_kw, winner_exact_threshold=0))
+    assert r.manifest.metrics.get("winner_filter") == "sharded_bloom"
+    a = load_lake(out_a).to_pandas().sort_values("url").reset_index(drop=True)
+    b = load_lake(out_b).to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
