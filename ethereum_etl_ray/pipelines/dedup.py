@@ -74,9 +74,20 @@ def _signature_stage(num_perm: int, bands: int, ngram: int,
     return stage
 
 
-def _pairs_from_groups(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
+# A degenerate band bucket (boilerplate / empty pages sharing one band hash)
+# explodes O(bucket²) pair generation; buckets past this size are DROPPED
+# (logged) — run exact_dedup first so identical texts never reach LSH.
+DEFAULT_MAX_BUCKET = 256
+
+
+def _pairs_from_groups(group: pd.DataFrame, id_col: str,
+                       max_bucket: int = DEFAULT_MAX_BUCKET) -> pd.DataFrame:
     ids = np.unique(group[id_col].to_numpy())
     if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+    if len(ids) > max_bucket:
+        print(f"[dedup] dropping degenerate LSH bucket: {len(ids)} docs "
+              f"(band={group['band'].iat[0]}) exceeds max_bucket={max_bucket}")
         return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
     a, b = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
@@ -84,28 +95,21 @@ def _pairs_from_groups(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                             text_col: str = "text", num_perm: int = 128,
-                            bands: int = 16, ngram: int = 3) -> pd.DataFrame:
-    """LSH candidate pairs (deduplicated). Small output by construction."""
+                            bands: int = 16, ngram: int = 3,
+                            max_bucket: int = DEFAULT_MAX_BUCKET) -> pd.DataFrame:
+    """LSH candidate pairs (deduplicated). Small output by construction:
+    per-bucket pair generation is capped at ``max_bucket`` docs."""
     banded = ds.map_batches(_signature_stage(num_perm, bands, ngram, id_col, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
     pairs = (
         banded.groupby(["band", "band_hash"])
-        .map_groups(lambda g: _pairs_from_groups(g, id_col), batch_format="pandas")
+        .map_groups(lambda g: _pairs_from_groups(g, id_col, max_bucket),
+                    batch_format="pandas")
     ).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                              "doc_b": pd.Series(dtype=np.int64)})
     return pairs.drop_duplicates().reset_index(drop=True)
-
-
-def _texts_for(ds: ray.data.Dataset, doc_ids: set[int], id_col: str, text_col: str
-               ) -> dict[int, str]:
-    from ethereum_etl_ray.stages.joins import semi_anti_filter
-
-    sub = semi_anti_filter(ds.select_columns([id_col, text_col]),
-                           np.fromiter(doc_ids, dtype=np.int64), on=id_col)
-    df = sub.to_pandas()  # candidate set: output-sized, small
-    return dict(zip(df[id_col], df[text_col]))
 
 
 def _ngram_sets(text: str, n: int) -> set:
@@ -115,27 +119,60 @@ def _ngram_sets(text: str, n: int) -> set:
     return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
+def _rename_col(ds: ray.data.Dataset, old: str, new: str) -> ray.data.Dataset:
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([new if c == old else c for c in t.column_names])
+
+    return ds.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
                          threshold: float = 0.7, ngram: int = 3,
                          id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
-    """Exact word-ngram Jaccard over candidate pairs; keeps ≥ threshold."""
+    """Exact word-ngram Jaccard over candidate pairs; keeps ≥ threshold.
+
+    Fully distributed: the candidate pairs are hash-joined against the
+    document texts twice (once per side) and verified inside ``map_batches``
+    — no driver-side text materialization (webtext candidate sets are huge:
+    boilerplate clusters). Only the verified output pairs return."""
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                          "doc_b": pd.Series(dtype=np.int64),
+                          "jaccard_ppm": pd.Series(dtype=np.int64)})
     if pairs.empty:
-        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                             "doc_b": pd.Series(dtype=np.int64),
-                             "jaccard_ppm": pd.Series(dtype=np.int64)})
-    texts = _texts_for(ds, set(pairs.doc_a) | set(pairs.doc_b), id_col, text_col)
-    rows = []
-    cache: dict[int, set] = {}
-    for a, b in zip(pairs.doc_a, pairs.doc_b):
-        sa = cache.setdefault(a, _ngram_sets(texts[a], ngram))
-        sb = cache.setdefault(b, _ngram_sets(texts[b], ngram))
-        j = jaccard(sa, sb)
-        if j >= threshold:
-            rows.append((int(a), int(b), int(j * 1_000_000)))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_ppm"]).astype(np.int64) \
-        if rows else pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                                   "doc_b": pd.Series(dtype=np.int64),
-                                   "jaccard_ppm": pd.Series(dtype=np.int64)})
+        return empty
+    import ray as _ray
+
+    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    docs = ds.select_columns([id_col, text_col])
+    pairs_ds = ray.data.from_pandas(pairs[["doc_a", "doc_b"]])
+    j = pairs_ds.join(docs, join_type="inner", num_partitions=n_parts,
+                      on=("doc_a",), right_on=(id_col,))
+    j = _rename_col(j, text_col, "__text_a")
+    j = j.join(docs, join_type="inner", num_partitions=n_parts,
+               on=("doc_b",), right_on=(id_col,))
+    j = _rename_col(j, text_col, "__text_b")
+
+    def verify(t: pa.Table) -> pa.Table:
+        da = t.column("doc_a").to_numpy()
+        db = t.column("doc_b").to_numpy()
+        ta = t.column("__text_a").to_pylist()
+        tb = t.column("__text_b").to_pylist()
+        cache: dict[int, set] = {}
+        rows = []
+        for i in range(t.num_rows):
+            sa = cache.setdefault(int(da[i]), _ngram_sets(ta[i], ngram))
+            sb = cache.setdefault(int(db[i]), _ngram_sets(tb[i], ngram))
+            jac = jaccard(sa, sb)
+            if jac >= threshold:
+                rows.append((int(da[i]), int(db[i]), int(jac * 1_000_000)))
+        return pa.table({
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_ppm": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    out = j.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return out if not out.empty else empty
 
 
 def minhash_lsh_dedup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.7,
@@ -171,11 +208,16 @@ def simhash_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
         ids = g[id_col].to_numpy()
         sigs = g["sig"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > DEFAULT_MAX_BUCKET:
+            if len(ids) > DEFAULT_MAX_BUCKET:
+                print(f"[dedup] dropping degenerate SimHash bucket: "
+                      f"{len(ids)} docs > {DEFAULT_MAX_BUCKET}")
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}, dtype=np.int64)
         a, b = np.triu_indices(len(ids), k=1)
         x = np.bitwise_xor(sigs[a], sigs[b])
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        # vectorized popcount: 8 bytes per uint64, unpack and sum the bits
+        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1) \
+            .astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
                              "hamming": ham[keep]})

@@ -23,10 +23,13 @@ from ethereum_etl_ray.functions.hashing import hash64
 
 
 def partial_counts(batch: pa.Table, key: str) -> pa.Table:
-    """map_batches combiner: exact per-batch key counts (≤ distinct keys rows)."""
-    vc = batch.column(key).to_pandas().value_counts()
-    return pa.table({key: pa.array(vc.index.to_numpy()),
-                     "partial_n": pa.array(vc.to_numpy(), pa.int64())})
+    """map_batches combiner: exact per-batch key counts (≤ distinct keys rows).
+    Arrow-native (``pc.value_counts``) — no pandas round-trip in the hot path."""
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(batch.column(key).combine_chunks())
+    return pa.table({key: vc.field("values"),
+                     "partial_n": pc.cast(vc.field("counts"), pa.int64())})
 
 
 def heavy_hitters(ds: ray.data.Dataset, key: str, *, min_count: int | None = None,

@@ -82,6 +82,38 @@ def test_simhash_signature_properties():
     assert hamming64(sigs[:1], sigs[2:3])[0] > 10
 
 
+def test_degenerate_bucket_is_capped():
+    """1k identical texts put every doc into one band bucket per band —
+    uncapped that is ~500k pairs per band; the cap must drop the bucket and
+    finish in bounded time with zero candidate pairs."""
+    import time
+
+    from ethereum_etl_ray.pipelines.dedup import minhash_candidate_pairs
+
+    rows = [{"doc_id": i, "text": BASE} for i in range(1000)]
+    t0 = time.perf_counter()
+    pairs = minhash_candidate_pairs(ray.data.from_items(rows), bands=4, num_perm=32)
+    assert time.perf_counter() - t0 < 60
+    assert pairs.empty  # every bucket degenerate → dropped (exact_dedup owns these)
+
+
+def test_verify_pairs_is_distributed_and_exact(planted):
+    """The verify stage must produce the exact jaccard for planted pairs via
+    the pairs⋈docs⋈docs shuffle path (no driver text materialization)."""
+    import pandas as pd
+
+    from ethereum_etl_ray.pipelines.dedup import _ngram_sets, verify_jaccard_pairs
+
+    cand = pd.DataFrame({"doc_a": [1, 1, 4], "doc_b": [2, 3, 5]})
+    out = verify_jaccard_pairs(planted, cand, threshold=0.0, ngram=3)
+    got = dict(zip(zip(out.doc_a, out.doc_b), out.jaccard_ppm))
+    assert got[(1, 2)] == 1_000_000
+    near = BASE.replace("warm fire", "cold stove")
+    expect = jaccard(_ngram_sets(BASE, 3), _ngram_sets(near, 3))
+    assert got[(1, 3)] == int(expect * 1_000_000)
+    assert got[(4, 5)] == 0
+
+
 def test_jaccard_edge_cases():
     assert jaccard(set(), set()) == 1.0
     assert jaccard({1}, set()) == 0.0
