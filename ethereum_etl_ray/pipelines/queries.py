@@ -318,16 +318,22 @@ def q_hash_join_segment_status(sf_dir: str):
 
 def q_asof_join_orders(sf_dir: str):
     """As-of (backward) join: each event matched to the customer's latest
-    order at event time (broadcast + merge_asof per batch)."""
-    from ethereum_etl_ray.stages.joins import broadcast_asof
+    order at event time. Bucketed variant — both sides hash-partitioned on
+    the by-key and merged per bucket; the fact table is never
+    driver-materialized (the 100 TB path)."""
+    from ray.data.aggregate import Max
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]).to_pandas()
-    # dedupe ties: one orderkey (max) per (custkey, orderdate)
-    orders = (orders.groupby(["o_custkey", "o_orderdate"], as_index=False)
-              .agg(o_orderkey=("o_orderkey", "max")))
+    from ethereum_etl_ray.stages.joins import bucketed_asof
+
+    # dedupe ties distributed: one orderkey (max) per (custkey, orderdate)
+    orders = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+    )
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    out = broadcast_asof(ev, orders, left_ts="ts", right_ts="o_orderdate",
-                         left_by="user_id", right_by="o_custkey")
+    out = bucketed_asof(ev, orders, left_ts="ts", right_ts="o_orderdate",
+                        left_by="user_id", right_by="o_custkey")
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "o_orderkey"]].astype(
             {"o_orderkey": np.int64}),
@@ -365,9 +371,46 @@ def q_enrich_segment_spend(sf_dir: str):
 
 
 def q_topk_orders(sf_dir: str):
-    """Global top-k by sort+limit (absent in the reference, SURVEY §2.8)."""
+    """Global top-k via per-batch partial top-k + tiny driver reduce — no
+    all-to-all sort of the table (absent in the reference, SURVEY §2.8)."""
+    from ethereum_etl_ray.stages.topk import topk
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(15)
+    return topk(ds, ["o_totalprice", "o_orderkey"], 15, descending=[True, False])
+
+
+def _ns_edges(t: pa.Table, src_prefix: str, src: str, dst_prefix: str, dst: str
+              ) -> pa.Table:
+    """Namespaced string edges ("o:123" → "c:45") from two key columns."""
+    n = t.num_rows
+    return pa.table({
+        "src": pc.binary_join_element_wise(
+            pa.array([src_prefix] * n), pc.cast(t.column(src), pa.string()), ""),
+        "dst": pc.binary_join_element_wise(
+            pa.array([dst_prefix] * n), pc.cast(t.column(dst), pa.string()), ""),
+    })
+
+
+def q_graph_reach(sf_dir: str):
+    """J5 graph-traversal join (reference src/tasks/extract/pool.py:183-290:
+    BFS ≤5 hops over pool edges): bounded-hop reachability over the
+    order→customer→nation→region key graph via iterative broadcast join."""
+    from ethereum_etl_ray.stages.graph import graph_reach
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: _ns_edges(t, "o:", "o_orderkey", "c:", "o_custkey"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: _ns_edges(t, "c:", "c_custkey", "n:", "c_nationkey"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).map_batches(
+        lambda t: _ns_edges(t, "n:", "n_nationkey", "r:", "n_regionkey"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    edges = orders.union(cust).union(nation)
+    start_keys = (_read(sf_dir, "orders", ["o_orderkey"])
+                  .filter(expr="o_orderkey <= 200").to_pandas())
+    starts = [f"o:{k}" for k in sorted(start_keys.o_orderkey)]
+    return graph_reach(edges, starts, max_hops=3)
 
 
 def q_window_hourly(sf_dir: str):
@@ -597,6 +640,22 @@ def q_cdc_bulk_load(sf_dir: str):
     return _lake_result(out)
 
 
+def q_stream_publish(sf_dir: str):
+    """X3/X4 streaming-sink analogue (reference src/tasks/export/nats.py:11-29):
+    publish the events table to the file-backed message queue from inside
+    map_batches; returns the per-message publish summary. Idempotence and
+    roundtrip are pytest-oracled (tests/test_sinks.py)."""
+    import hashlib
+    import shutil
+
+    from ethereum_etl_ray.stages.sinks import make_publisher
+
+    q = f"/tmp/webcdc_queues/{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(q, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ds.map_batches(make_publisher(q), batch_format="pyarrow")
+
+
 def q_schema_evolution_audit(sf_dir: str):
     """Conform-stage audit: events per schema generation after unification
     (added column null-rate proves the in-flight rewrite)."""
@@ -646,6 +705,7 @@ QUERIES = {
     "broadcast_join_brand_rev": q_broadcast_join_brand_rev,
     "hash_join_segment_status": q_hash_join_segment_status,
     "asof_join_orders": q_asof_join_orders,
+    "graph_reach": q_graph_reach,
     "enrich_segment_spend": q_enrich_segment_spend,
     "topk_orders": q_topk_orders,
     "window_hourly": q_window_hourly,
@@ -666,6 +726,7 @@ QUERIES = {
     "cdc_replay_ignore": q_cdc_replay_ignore,
     "cdc_resume_tail": q_cdc_resume_tail,
     "cdc_bulk_load": q_cdc_bulk_load,
+    "stream_publish": q_stream_publish,
     "schema_evolution_audit": q_schema_evolution_audit,
 }
 
@@ -791,6 +852,23 @@ ORACLE_SQL = {
           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
           FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "graph_reach": """
+        WITH RECURSIVE e AS (
+          SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst FROM orders
+          UNION ALL
+          SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+          UNION ALL
+          SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+        ), reach(start, node, hops) AS (
+          SELECT 'o:' || o_orderkey, 'o:' || o_orderkey, 0
+          FROM orders WHERE o_orderkey <= 200
+          UNION ALL
+          SELECT r.start, e.dst, r.hops + 1
+          FROM reach r JOIN e ON e.src = r.node WHERE r.hops < 3
+        )
+        SELECT start, node, CAST(min(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY start, node
     """,
     "enrich_segment_spend": """
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,

@@ -126,6 +126,83 @@ def broadcast_asof(
     return ds.map_batches(Asof, batch_format="pandas", concurrency=2)
 
 
+def bucketed_asof(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    *,
+    left_ts: str,
+    right_ts: str,
+    left_by: str,
+    right_by: str,
+    inner: bool = True,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """As-of (backward) join where NEITHER side is driver-materialized — the
+    100 TB path ``broadcast_asof``'s docstring promises.
+
+    Both sides are hash-partitioned on their by-key (matches are always
+    per-key, so co-partitioning by key alone suffices — no time-range split
+    needed), co-grouped per partition, and merged with one vectorized
+    ``pd.merge_asof`` per bucket. One shuffle total; driver sees nothing.
+    """
+    from ethereum_etl_ray.functions.hashing import partition_ids
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, cpus)
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"bucketed_asof requires disjoint column names, got {overlap}")
+    unified = list(zip(l_cols, l_schema.types)) + list(zip(r_cols, r_schema.types))
+
+    def widen(side_flag: int, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for name, typ in unified:
+                cols[name] = (t.column(name) if name in t.column_names
+                              else pa.nulls(t.num_rows, typ))
+            cols["__side"] = pa.array(np.full(t.num_rows, side_flag), pa.int8())
+            cols["__part"] = pa.array(
+                partition_ids(t.column(key_col), num_partitions), pa.int32())
+            return pa.table(cols)
+
+        return fn
+
+    both = (
+        left_ds.map_batches(widen(0, left_by), batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .union(right_ds.map_batches(widen(1, right_by), batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    )
+
+    def asof_group(g: pa.Table) -> pd.DataFrame:
+        side = g.column("__side")
+        lt = g.filter(pa.compute.equal(side, pa.scalar(0, pa.int8()))).select(l_cols)
+        rt = g.filter(pa.compute.equal(side, pa.scalar(1, pa.int8()))).select(r_cols)
+        l = lt.to_pandas().sort_values(left_ts, kind="stable")
+        if rt.num_rows == 0:
+            if inner:  # dtype-stable empty frame (schemas must agree across groups)
+                return pa.table({n: pa.nulls(0, t) for n, t in unified}).to_pandas()
+            r_pad = {c: [None] * len(l) for c in r_cols}
+            return l.assign(**r_pad)
+        r = rt.to_pandas().sort_values(right_ts, kind="stable")
+        # merge_asof requires identical datetime resolutions (date32 parquet
+        # columns land as datetime64[s], timestamps as [us])
+        if pd.api.types.is_datetime64_any_dtype(l[left_ts]):
+            l[left_ts] = l[left_ts].astype("datetime64[us]")
+            r[right_ts] = r[right_ts].astype("datetime64[us]")
+        out = pd.merge_asof(l, r, left_on=left_ts, right_on=right_ts,
+                            left_by=left_by, right_by=right_by,
+                            direction="backward")
+        if inner:
+            out = out.dropna(subset=[right_ts])
+        return out
+
+    return both.groupby("__part").map_groups(asof_group, batch_format="pyarrow")
+
+
 def enrich_with(
     ds: ray.data.Dataset,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
