@@ -511,6 +511,23 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, ids, mat, k=_TOPK, n_centroids=8, nprobe=None)
 
 
+def q_ann_ivf_persisted(sf_dir: str):
+    """Persisted-IVF path: k-means index built + written as bucket-partitioned
+    parquet, probe reads only bucket directories. nprobe=all ⇒ exact, so it
+    shares the brute-force oracle."""
+    import hashlib
+    import shutil
+
+    from ethereum_etl_ray.stages.ann import build_ivf_index, ivf_search
+
+    idx = f"/tmp/webcdc_ivf/{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(idx, ignore_errors=True)
+    ids, mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    build_ivf_index(ds, idx, n_centroids=8, kmeans_iters=2)
+    return ivf_search(idx, ids, mat, k=_TOPK, nprobe=None)
+
+
 def q_minhash_lsh_pairs(sf_dir: str):
     from ethereum_etl_ray.pipelines.dedup import minhash_lsh_dedup_pairs
 
@@ -716,6 +733,7 @@ QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "embedding_topk": q_embedding_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_persisted": q_ann_ivf_persisted,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -961,3 +979,4 @@ ORACLE_SQL = {
     """,
 }
 ORACLE_SQL["ann_ivf_topk"] = ORACLE_SQL["embedding_topk"]
+ORACLE_SQL["ann_ivf_persisted"] = ORACLE_SQL["embedding_topk"]

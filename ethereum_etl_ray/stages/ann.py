@@ -124,11 +124,52 @@ def seeded_centroids(ds: ray.data.Dataset, n_centroids: int, emb_col: str = "emb
     return mat[pick]
 
 
+def kmeans_centroids(ds: ray.data.Dataset, n_centroids: int,
+                     emb_col: str = "embedding", iters: int = 4,
+                     seed: int = 11) -> np.ndarray:
+    """Distributed Lloyd iterations on spherical k-means (cosine assignment).
+
+    Per iteration: one streaming pass — each batch emits per-centroid partial
+    vector sums + counts (O(C·dim) per batch regardless of rows); the driver
+    reduces the partials and recomputes centroids. Deterministic seeded init.
+    Empty clusters keep their previous centroid.
+    """
+    cents = seeded_centroids(ds, n_centroids, emb_col, seed=seed)
+    dim = cents.shape[1]
+    for _ in range(iters):
+        cref = ray.put(_normalize(cents))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _batch_matrix(batch, emb_col)
+            b = np.argmax(c @ _normalize(m).T, axis=0)
+            sums = np.zeros((len(c), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, b, m)
+            counts = np.bincount(b, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "bucket": pa.array(np.arange(len(c), dtype=np.int32), pa.int32()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "count": pa.array(counts, pa.int64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((n_centroids, dim), dtype=np.float64)
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        for b, v, n in zip(parts.bucket, parts.vsum, parts["count"]):
+            sums[b] += np.asarray(v)
+            counts[b] += n
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / counts[nz, None]
+    return cents
+
+
 def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray, query_mat: np.ndarray,
              k: int = 5, n_centroids: int = 8, nprobe: int | None = None,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> pd.DataFrame:
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             kmeans_iters: int = 2) -> pd.DataFrame:
     """IVF-bucketed top-k. ``nprobe=None`` probes all buckets (exact)."""
-    cents = seeded_centroids(ds, n_centroids, emb_col)
+    cents = kmeans_centroids(ds, n_centroids, emb_col, iters=kmeans_iters)
     nprobe = n_centroids if nprobe is None else nprobe
     bucketed = assign_ivf_buckets(ds, cents, emb_col)
     qn = _normalize(np.asarray(query_mat, dtype=np.float64))
@@ -136,4 +177,52 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray, query_mat: np.ndarray,
     wanted = sorted(set(probe.ravel().tolist()))
     # prune the corpus to probed buckets BEFORE the scan fan-out
     sub = bucketed.filter(expr=f"ivf_bucket in {wanted}")
+    return brute_force_topk(sub, query_ids, query_mat, k, id_col, emb_col)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: the 100 TB path. Building once writes the corpus as a
+# bucket-partitioned Parquet lake; probing then reads ONLY the probed bucket
+# DIRECTORIES — a file-level prune, not a row filter over a full scan (the
+# round-1 ivf_topk pruned rows but still scanned everything).
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_centroids: int = 8,
+                    emb_col: str = "embedding", kmeans_iters: int = 4,
+                    seed: int = 11) -> np.ndarray:
+    """Build + persist: k-means centroids, then the corpus written as
+    hive-partitioned Parquet (one directory per ivf_bucket)."""
+    import json
+    import os
+
+    cents = kmeans_centroids(ds, n_centroids, emb_col, iters=kmeans_iters,
+                             seed=seed)
+    bucketed = assign_ivf_buckets(ds, cents, emb_col)
+    os.makedirs(index_dir, exist_ok=True)
+    bucketed.write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
+        json.dump({"n_centroids": int(n_centroids), "emb_col": emb_col}, f)
+    return cents
+
+
+def ivf_search(index_dir: str, query_ids: np.ndarray, query_mat: np.ndarray,
+               k: int = 5, nprobe: int | None = None,
+               id_col: str = "vec_id", emb_col: str = "embedding") -> pd.DataFrame:
+    """Probe a persisted index: reads only the ``nprobe`` nearest buckets'
+    directories. ``nprobe=None`` probes everything (exact)."""
+    import json
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    meta = json.load(open(os.path.join(index_dir, "ivf_meta.json")))
+    nprobe = meta["n_centroids"] if nprobe is None else nprobe
+    qn = _normalize(np.asarray(query_mat, dtype=np.float64))
+    probe = np.argsort(-(_normalize(cents) @ qn.T), axis=0)[:nprobe]
+    dirs = [os.path.join(index_dir, f"ivf_bucket={b}")
+            for b in sorted(set(probe.ravel().tolist()))]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    sub = ray.data.read_parquet(files, columns=[id_col, emb_col])
     return brute_force_topk(sub, query_ids, query_mat, k, id_col, emb_col)

@@ -56,3 +56,50 @@ def test_ivf_partial_probe_high_recall(corpus):
     ivf = ivf_topk(ds, qids, mat[qids], k=5, n_centroids=6, nprobe=3)
     recall = len(set(bf.vec_id) & set(ivf.vec_id)) / 5
     assert recall >= 0.4  # partial probe trades recall for pruning
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    """4 well-separated clusters — k-means should recover them."""
+    rng = np.random.default_rng(17)
+    centers = np.eye(4, 12) * 10.0
+    mat = np.concatenate([
+        centers[i] + rng.normal(scale=0.3, size=(50, 12)) for i in range(4)
+    ]).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": list(mat)})
+    return ray.data.from_pandas(df), mat
+
+
+def test_kmeans_centroids_recover_clusters(clustered):
+    from ethereum_etl_ray.stages.ann import kmeans_centroids
+
+    ds, mat = clustered
+    cents = kmeans_centroids(ds, 4, iters=5)
+    assert cents.shape == (4, 12)
+    # each true center has a centroid at cosine ≥ 0.95
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for i in range(4):
+        true = np.eye(4, 12)[i] * 10.0
+        true = true / np.linalg.norm(true)
+        assert (cn @ true).max() > 0.95
+
+
+def test_persisted_ivf_index_prunes_and_matches(clustered, tmp_path):
+    from ethereum_etl_ray.stages.ann import build_ivf_index, ivf_search
+
+    ds, mat = clustered
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=4, kmeans_iters=5)
+    import os
+    bucket_dirs = [d for d in os.listdir(idx) if d.startswith("ivf_bucket=")]
+    assert len(bucket_dirs) == 4  # one directory per non-empty bucket
+
+    qids = np.array([0, 60], dtype=np.int64)
+    exact = ivf_search(idx, qids, mat[qids], k=5, nprobe=None)
+    bf = brute_force_topk(ds, qids, mat[qids], k=5)
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  bf.reset_index(drop=True))
+    # well-clustered data: probing ONE bucket directory keeps full recall
+    pruned = ivf_search(idx, qids, mat[qids], k=5, nprobe=1)
+    assert set(pruned.vec_id) == set(bf.vec_id)
