@@ -102,6 +102,15 @@ def cmd_inspect(args):
 
 
 def cmd_compact(args):
+    """GC orphans; with ``--rewrite``, also rewrite live partition files with
+    uniform row groups (reference backup/drop lifecycle,
+    src/repositories/sqlite/base.py:81-136)."""
+    if args.rewrite:
+        _ray_up(args.num_cpus)
+        from ethereum_etl_ray.pipelines.retention import compact_lake
+
+        print(json.dumps(compact_lake(args.out, row_group_rows=args.row_group_rows)))
+        return
     from ethereum_etl_ray.state.manifest import gc_uncommitted
 
     removed = gc_uncommitted(args.out)
@@ -165,6 +174,10 @@ def main(argv=None):
     for name, fn in [("inspect", cmd_inspect), ("compact", cmd_compact)]:
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
+        if name == "compact":
+            sp.add_argument("--rewrite", action="store_true",
+                            help="rewrite live partition files with uniform row groups")
+            sp.add_argument("--row-group-rows", type=int, default=65536)
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("retention", help="evict oldest rows (reference A8 free_space)")

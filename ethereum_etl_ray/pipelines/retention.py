@@ -200,6 +200,55 @@ def _cutoff_version(out_dir: str, manifest: Manifest, keep_ratio: float):
     return row.warc_ts.to_datetime64(), int(row.seq), str(row.url)
 
 
+def compact_lake(out_dir: str, row_group_rows: int = 65536) -> dict:
+    """Lake compaction (reference backup/drop lifecycle,
+    ``src/repositories/sqlite/base.py:81-136``): rewrite every live partition
+    file with uniform row groups (tail windows append-merge with whatever
+    row-group layout the write produced; scans prune at row-group granularity,
+    so fragmented groups cost read amplification), then GC superseded files.
+    Partition-parallel map — no shuffle, content unchanged (checksums must
+    match the manifest)."""
+    from ethereum_etl_ray.state.manifest import gc_uncommitted
+
+    manifest = load_manifest(out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest in {out_dir}")
+    wm = manifest.watermark
+    entries = [(int(p), e) for p, e in manifest.partitions.items() if e.rows > 0]
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        out = []
+        for part in batch.column("part").to_pylist():
+            entry = dict(entries)[part]
+            t = pq.read_table(os.path.join(out_dir, entry.file))
+            rel = os.path.join(f"part={part:05d}", f"data-{wm}-c.parquet")
+            tmp = os.path.join(out_dir, rel) + f".tmp.{os.getpid()}"
+            os.makedirs(os.path.dirname(tmp), exist_ok=True)
+            pq.write_table(t, tmp, row_group_size=row_group_rows)
+            os.replace(tmp, os.path.join(out_dir, rel))
+            checksum = content_checksum(t.column("url"), t.column("text"),
+                                        t.column("seq"))
+            assert str(checksum) == entry.checksum, (
+                f"compaction would alter partition {part} content")
+            out.append({"part": part, "rows": t.num_rows, "file": rel,
+                        "checksum": str(checksum)})
+        return pa.Table.from_pylist(out)
+
+    if not entries:
+        return {"partitions_rewritten": 0, "gc_removed": len(gc_uncommitted(out_dir))}
+    stats = (
+        ray.data.from_items([{"part": p} for p, _ in entries])
+        .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for row in stats.itertuples(index=False):
+        manifest.partitions[str(int(row.part))] = PartitionEntry(
+            file=row.file, rows=int(row.rows), checksum=row.checksum, watermark=wm)
+    commit_manifest(out_dir, manifest)
+    removed = gc_uncommitted(out_dir)
+    return {"partitions_rewritten": len(stats), "gc_removed": len(removed)}
+
+
 def apply_retention(out_dir: str, keep_ratio: float = 0.9) -> dict:
     """Evict the oldest ``1-keep_ratio`` of lake rows (exactly
     ``floor(n·(1-keep_ratio))`` rows). Returns stats."""

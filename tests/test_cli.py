@@ -1,0 +1,102 @@
+"""Admin-CLI output tests (X6-X8): every subcommand exercised against a tiny
+lake with its JSON/CSV output asserted — reference analogues in
+src/clis/historical.py, src/repositories/sqlite/base.py:26-52 (inspect),
+:126-136 (GC), :177-185 (COPY TO export)."""
+
+import json
+import os
+
+import pytest
+
+from ethereum_etl_ray.cli import main
+from ethereum_etl_ray.pipelines.replay import load_lake
+
+SF = "/root/testdata/sf0.001"
+EPD = ["--events-per-doc", "6"]
+
+
+def _run(capsys, argv) -> dict:
+    main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1])
+
+
+@pytest.fixture(scope="module")
+def cli_lake(tmp_path_factory, tiny_corpus):
+    out = str(tmp_path_factory.mktemp("clilake") / "lake")
+    main(["replay", "--sf-dir", SF, *EPD, "--out", out, "--partitions", "6"])
+    return out
+
+
+def test_cli_init_reports_corpus(capsys):
+    got = _run(capsys, ["init", "--sf-dir", SF, *EPD])
+    assert got["n_docs"] > 0 and got["n_events"] > 0
+    assert got["watermark"] >= got["v2_start_seq"]
+
+
+def test_cli_replay_and_inspect_agree(capsys, cli_lake):
+    got = _run(capsys, ["inspect", "--out", cli_lake])
+    assert got["rows"] == load_lake(cli_lake).count()
+    assert got["partitions"] == 6
+    assert set(got["schema"]) >= {"url", "warc_ts", "html", "text", "seq"}
+    assert len(got["sample"]) == 3
+    assert got["metrics"].get("route") == "late"
+
+
+def test_cli_tail_converges_to_full_replay(capsys, cli_lake, tmp_path):
+    out = str(tmp_path / "taillake")
+    got = _run(capsys, ["tail", "--sf-dir", SF, *EPD, "--out", out,
+                        "--partitions", "6", "--window", "300"])
+    assert got["rounds"] >= 2
+    one_shot = load_lake(cli_lake).to_pandas().sort_values("url")
+    tailed = load_lake(out).to_pandas().sort_values("url")
+    assert tailed.url.tolist() == one_shot.url.tolist()
+    assert tailed.text.tolist() == one_shot.text.tolist()
+
+
+def test_cli_export_csv_roundtrip(capsys, cli_lake, tmp_path):
+    import pandas as pd
+
+    dest = str(tmp_path / "csv")
+    got = _run(capsys, ["export", "--out", cli_lake, "--dest", dest,
+                        "--include-html"])
+    assert got["dest"] == dest
+    files = [os.path.join(dest, f) for f in os.listdir(dest) if f.endswith(".csv")]
+    assert files
+    df = pd.concat([pd.read_csv(f) for f in files])
+    lake = load_lake(cli_lake).to_pandas()
+    assert len(df) == len(lake)
+    assert "html_text" in df.columns and "html" not in df.columns
+    assert set(df.url) == set(lake.url)
+
+
+def test_cli_retention_then_compact(capsys, cli_lake):
+    n = load_lake(cli_lake).count()
+    got = _run(capsys, ["retention", "--out", cli_lake, "--keep-ratio", "0.9"])
+    assert got["evicted"] == int(n * 0.1)
+    got = _run(capsys, ["compact", "--out", cli_lake])
+    assert got["removed"] > 0  # pre-retention partition files GC'd
+    assert load_lake(cli_lake).count() == n - int(n * 0.1)
+
+
+def test_cli_compact_rewrite_uniform_row_groups(capsys, cli_lake):
+    import pyarrow.parquet as pq
+
+    from ethereum_etl_ray.state.manifest import load_manifest
+
+    n = load_lake(cli_lake).count()
+    got = _run(capsys, ["compact", "--out", cli_lake, "--rewrite",
+                        "--row-group-rows", "16"])
+    assert got["partitions_rewritten"] > 0
+    m = load_manifest(cli_lake)
+    for e in m.partitions.values():
+        if e.rows > 16:
+            md = pq.read_metadata(os.path.join(cli_lake, e.file))
+            assert md.num_row_groups >= 2  # row groups actually resized
+    assert load_lake(cli_lake).count() == n  # content untouched
+
+
+def test_cli_inspect_missing_lake_errors(capsys, tmp_path):
+    with pytest.raises(SystemExit):
+        main(["inspect", "--out", str(tmp_path / "nope")])
+    assert "error" in json.loads(capsys.readouterr().out.strip())
