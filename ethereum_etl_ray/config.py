@@ -62,7 +62,10 @@ class EngineConfig:
     # url-partition's shard. False positives just lose the LWW/FWW merge
     # downstream; false negatives cannot occur — so correctness is unaffected
     # while driver memory stays O(P + bloom bits).
-    winner_exact_threshold: int = 2_000_000
+    # The estimate is an upper bound: update-heavy logs have far fewer keys
+    # than events, and a 20M-seq exact array is only ~160 MB of driver
+    # memory/broadcast — so the sharded route engages at genuine web scale.
+    winner_exact_threshold: int = 20_000_000
     winner_fp_rate: float = 1e-3
     # Quarantine malformed events (null url / unknown op) into
     # out_dir/_deadletter instead of failing the replay (the reference RAISES

@@ -142,8 +142,18 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
         return empty
     import ray as _ray
 
-    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    docs = ds.select_columns([id_col, text_col])
+    from ethereum_etl_ray.stages.joins import semi_anti_filter
+
+    # join fan-out sized to the candidate count: every partition is a task
+    # round of fixed cost, so tiny pair sets use few partitions
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    n_parts = max(2, min(cpus // 2, 1 + len(pairs) // 50_000))
+    # prune the doc side to candidate ids BEFORE the joins (the id set is
+    # O(pairs) — already driver-resident — while the texts stay distributed)
+    cand_ids = np.unique(np.concatenate([pairs.doc_a.to_numpy(),
+                                         pairs.doc_b.to_numpy()]))
+    docs = semi_anti_filter(ds.select_columns([id_col, text_col]), cand_ids,
+                            on=id_col)
     pairs_ds = ray.data.from_pandas(pairs[["doc_a", "doc_b"]])
     j = pairs_ds.join(docs, join_type="inner", num_partitions=n_parts,
                       on=("doc_a",), right_on=(id_col,))

@@ -511,6 +511,16 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, ids, mat, k=_TOPK, n_centroids=8, nprobe=None)
 
 
+def q_embedding_cosine_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact path): all vec pairs with
+    4-dec-rounded cosine ≥ 0.4 (the synthetic embeddings have no planted
+    dups, so the threshold sits below the natural similarity ceiling)."""
+    from ethereum_etl_ray.stages.ann import embedding_cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_cosine_pairs(ds, tau=0.4)
+
+
 def q_ann_ivf_persisted(sf_dir: str):
     """Persisted-IVF path: k-means index built + written as bucket-partitioned
     parquet, probe reads only bucket directories. nprobe=all ⇒ exact, so it
@@ -734,6 +744,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_persisted": q_ann_ivf_persisted,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -980,3 +991,15 @@ ORACLE_SQL = {
 }
 ORACLE_SQL["ann_ivf_topk"] = ORACLE_SQL["embedding_topk"]
 ORACLE_SQL["ann_ivf_persisted"] = ORACLE_SQL["embedding_topk"]
+ORACLE_SQL["embedding_cosine_pairs"] = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10000 + 0.5)
+             / 10000.0 AS cos_4
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE floor(list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10000 + 0.5)
+            / 10000.0 >= 0.4
+"""

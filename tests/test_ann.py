@@ -85,6 +85,27 @@ def test_kmeans_centroids_recover_clusters(clustered):
         assert (cn @ true).max() > 0.95
 
 
+def test_embedding_cosine_pairs_exact_and_bucketed(clustered):
+    from ethereum_etl_ray.stages.ann import (
+        embedding_bucketed_pairs,
+        embedding_cosine_pairs,
+    )
+
+    ds, mat = clustered
+    exact = embedding_cosine_pairs(ds, tau=0.9)
+    # ground truth: within-cluster pairs only (clusters are near-orthogonal)
+    mn = mat.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    sims = np.floor(mn @ mn.T * 1e4 + 0.5) / 1e4
+    a, b = np.nonzero(np.triu(sims >= 0.9, k=1))
+    assert set(zip(exact.vec_a, exact.vec_b)) == set(zip(a, b))
+    # bucketed path: clusters map to buckets, so recall is total here and
+    # every reported pair is a true pair (subset of exact)
+    bucketed = embedding_bucketed_pairs(ds, tau=0.9, n_centroids=4,
+                                        kmeans_iters=5)
+    assert set(zip(bucketed.vec_a, bucketed.vec_b)) == set(zip(a, b))
+
+
 def test_persisted_ivf_index_prunes_and_matches(clustered, tmp_path):
     from ethereum_etl_ray.stages.ann import build_ivf_index, ivf_search
 

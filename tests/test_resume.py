@@ -49,6 +49,18 @@ def test_many_checkpoints_reconverge(tiny_corpus, tmp_path_factory, oracle_texts
     assert _texts(out) == oracle_texts
 
 
+def test_late_route_file_shuffle_resume(tiny_corpus, tmp_path_factory, oracle_texts):
+    """Late materialization with the explicit file-bucket shuffle (the bench
+    default): checkpointed tail windows must reconverge to the oracle."""
+    cfg = EngineConfig(num_partitions=8, shuffle="file")
+    out = str(tmp_path_factory.mktemp("latefile"))
+    wm = tiny_corpus.watermark
+    for w in (wm // 3, (2 * wm) // 3, wm):
+        r = replay(tiny_corpus, out, cfg, watermark=w)
+        assert r.manifest.metrics.get("route") == "late"
+    assert _texts(out) == oracle_texts
+
+
 def test_crash_before_commit_is_invisible(tiny_corpus, tmp_path_factory, oracle_texts):
     """Simulate a crash after partition files were written but before the
     manifest commit: the extra files must not be readable state, and a rerun
