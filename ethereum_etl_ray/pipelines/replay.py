@@ -350,9 +350,15 @@ def _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm, prior, cfg,
     t_start = t_start if t_start is not None else _time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
     # barrier — drives the spill to completion and collects the touched
-    # partition ids (tiny: ≤ num_partitions values after the distributed
-    # unique aggregate)
-    populated = sorted(int(p) for p in ds.unique("part"))
+    # partition ids from the spill tasks' summary rows. Streamed to the
+    # driver block-by-block (summaries are (int32,int64) metadata, one row
+    # per batch×partition): an aggregate here (unique/groupby) would add an
+    # all-to-all whose object-store reservation throttles the upstream read
+    # (measured: 0.86 → 0.72 scaling efficiency on the bulk bench).
+    populated_set: set[int] = set()
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        populated_set.update(b.column("part").to_pylist())
+    populated = sorted(populated_set)
     metrics["spill_sec"] = round(_time.perf_counter() - t_start, 3)
     if populated:
         merge = make_spill_merge_apply(shuffle_dir, out_dir, target_wm, prior,
