@@ -583,6 +583,60 @@ def q_cms_heavy_hitters(sf_dir: str):
     return df.head(10)
 
 
+def q_deterministic_sample(sf_dir: str):
+    """Deterministic hash-split sampling — the stable train/holdout-split
+    operator a training-data pipeline needs (same rows selected on every
+    engine, every run, any partitioning): keep events whose md5(event_id)
+    starts with a hex digit < '2' (≈1/8 of rows)."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        keep = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest()[0] < "2" for i in ids),
+            dtype=bool, count=len(ids))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cap_per_key(sf_dir: str):
+    """Per-key cap: keep at most the newest 3 events per user (the per-host
+    document cap / keep-K-versions-per-page operator of a webtext pipeline).
+    Same partition-parallel shape as the LWW merge: per-batch combiner
+    bounds shuffle volume at k rows per key per batch, then one hash
+    partition + per-group exact cap."""
+    from ethereum_etl_ray.functions.hashing import partition_ids
+
+    k = 3
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    keys = [("user_id", "ascending"), ("ts", "descending"),
+            ("event_id", "descending")]
+
+    def cap(t: pa.Table) -> pa.Table:
+        t = t.sort_by(keys)
+        u = t.column("user_id").to_numpy()
+        # rank within run of equal keys (vectorized): position − run start
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        run_id = np.cumsum(np.concatenate([[0], (u[1:] != u[:-1]).astype(np.int64)]))
+        rank = np.arange(len(u)) - starts[run_id]
+        return t.filter(pa.array(rank < k))
+
+    def assign(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", pa.array(
+            partition_ids(t.column("user_id"), 32), pa.int32()))
+
+    return (
+        ds.map_batches(cap, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(lambda g: cap(g.drop_columns(["__part"])),
+                    batch_format="pyarrow")
+    )
+
+
 def q_random_sample(sf_dir: str):
     """Seeded sampling operator (absent in reference, SURVEY §2.8)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id"])
@@ -751,6 +805,8 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "random_sample": q_random_sample,
+    "deterministic_sample": q_deterministic_sample,
+    "cap_per_key": q_cap_per_key,
     "cdc_replay_full": q_cdc_replay_full,
     "cdc_replay_ignore": q_cdc_replay_ignore,
     "cdc_resume_tail": q_cdc_resume_tail,
@@ -881,6 +937,18 @@ ORACLE_SQL = {
           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
           FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "deterministic_sample": """
+        SELECT event_id, user_id FROM events
+        WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'
+    """,
+    "cap_per_key": """
+        SELECT event_id, user_id, ts FROM (
+          SELECT event_id, user_id, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn <= 3
     """,
     "graph_reach": """
         WITH RECURSIVE e AS (

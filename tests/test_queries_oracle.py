@@ -46,12 +46,14 @@ ORACLED = [
     "hash_join_segment_status", "asof_join_orders", "topk_orders", "window_hourly",
     "exact_dedup_docs", "doc_fingerprint", "lang_id_docs", "quality_docs",
     "embedding_topk", "ann_ivf_topk", "multimodal_decode",
+    "enrich_segment_spend", "graph_reach", "ann_ivf_persisted",
+    "embedding_cosine_pairs", "deterministic_sample", "cap_per_key",
 ]
 
 ROWS_ONLY = ["winnow_fingerprint", "minhash_lsh_pairs", "simhash_pairs",
              "ngram_jaccard_pairs", "cms_heavy_hitters", "random_sample",
              "cdc_replay_full", "cdc_replay_ignore", "cdc_resume_tail",
-             "cdc_bulk_load", "schema_evolution_audit"]
+             "cdc_bulk_load", "schema_evolution_audit", "stream_publish"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
