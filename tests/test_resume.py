@@ -61,6 +61,39 @@ def test_late_route_file_shuffle_resume(tiny_corpus, tmp_path_factory, oracle_te
     assert _texts(out) == oracle_texts
 
 
+def test_sharded_winner_route_resume_with_file_shuffle(tiny_corpus,
+                                                       tmp_path_factory,
+                                                       oracle_texts):
+    """Most-distributed configuration: sharded Bloom winner election +
+    file-bucket shuffle, across checkpointed windows — still oracle-exact."""
+    cfg = EngineConfig(num_partitions=8, shuffle="file", winner_exact_threshold=0)
+    out = str(tmp_path_factory.mktemp("shardfile"))
+    wm = tiny_corpus.watermark
+    for w in (wm // 2, wm):
+        r = replay(tiny_corpus, out, cfg, watermark=w)
+        assert r.manifest.metrics.get("winner_filter") == "sharded_bloom"
+    assert _texts(out) == oracle_texts
+
+
+def test_file_shuffle_requires_shared_scratch_on_multinode(tiny_corpus, tmp_path,
+                                                           monkeypatch):
+    """On a >1-node cluster with default (node-local) scratch, the file
+    shuffle must fail fast instead of silently dropping other nodes'
+    buckets."""
+    import ray as ray_mod
+
+    monkeypatch.setattr(ray_mod, "nodes",
+                        lambda: [{"Alive": True}, {"Alive": True}])
+    with pytest.raises(ValueError, match="SHARED storage"):
+        replay(tiny_corpus, str(tmp_path / "mn"),
+               EngineConfig(num_partitions=4, shuffle="file"))
+    # asserting shared scratch re-enables the route
+    monkeypatch.setattr(ray_mod, "nodes", lambda: [{"Alive": True}])
+    r = replay(tiny_corpus, str(tmp_path / "mn"),
+               EngineConfig(num_partitions=4, shuffle="file"))
+    assert r.manifest.watermark == tiny_corpus.watermark
+
+
 def test_crash_before_commit_is_invisible(tiny_corpus, tmp_path_factory, oracle_texts):
     """Simulate a crash after partition files were written but before the
     manifest commit: the extra files must not be readable state, and a rerun
