@@ -73,11 +73,25 @@ def q_tombstone_merge(sf_dir: str):
 
 def q_retention_evict(sf_dir: str):
     """A8 `free_space` analogue: keep the newest 90% of events by (ts,
-    event_id). Reference: src/repositories/sqlite/base.py:210-227."""
+    event_id). Reference: src/repositories/sqlite/base.py:210-227.
+
+    No global sort: the eviction boundary is located by distributed
+    k-th-element selection (rank summaries + a bounded window move — the
+    table itself never shuffles), then applied as a fused filter."""
+    from ethereum_etl_ray.stages.selection import kth_smallest, lex_lt
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     n = ds.count()
-    keep = int(np.floor(0.9 * n))
-    return ds.sort(["ts", "event_id"], descending=[True, True]).limit(keep)
+    n_evict = n - int(np.floor(0.9 * n))
+    if n_evict <= 0:
+        return ds
+    cutoff = kth_smallest(ds, ["ts", "event_id"], n_evict)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(lex_lt(t, ["ts", "event_id"], cutoff,
+                                         strict=False)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------

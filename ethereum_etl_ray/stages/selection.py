@@ -1,0 +1,119 @@
+"""Distributed order statistics: exact k-th smallest row of a Dataset.
+
+The generic form of the lake-retention cutoff search
+(``pipelines/retention.py`` — there the per-partition files give exact local
+ranks; here any Dataset does, per batch):
+
+  round 1  map_batches: sort the batch on ``cols``, emit every ``stride``-th
+           row with its exact local rank and the batch row count —
+           O(N / stride) driver rows;
+  driver   merge the rank summaries into guaranteed lower/upper rank bounds
+           and bracket the k-th element in a window ``[lo, hi]`` of at most
+           ``~2 · #batches · stride`` rows;
+  round 2  map_batches: exact count of rows < lo plus the window rows; the
+           driver sorts the window and reads off the exact k-th tuple.
+
+Replaces ``ds.sort(...).limit(...)`` / threshold selections where the sort's
+all-to-all moves the whole table just to locate a boundary: here only rank
+summaries and the bounded window move. For an exact row count downstream,
+include a unique column in ``cols`` (cf. retention's url tie-break) —
+otherwise rows equal to the returned tuple tie.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_TAG = "__batch_tag"
+
+
+def lex_lt(t: pa.Table, cols: list[str], bound: tuple, *, strict: bool):
+    """Vectorized lexicographic ``row < bound`` (``<=`` when not strict)
+    over ``cols``; built right-to-left as lt_i OR (eq_i AND tail)."""
+    last = len(cols) - 1
+    col = t.column(cols[last])
+    b = pa.scalar(bound[last], col.type)
+    acc = pc.less(col, b) if strict else pc.less_equal(col, b)
+    for i in range(last - 1, -1, -1):
+        col = t.column(cols[i])
+        b = pa.scalar(bound[i], col.type)
+        acc = pc.or_(pc.less(col, b), pc.and_(pc.equal(col, b), acc))
+    return acc
+
+
+def kth_smallest(ds: ray.data.Dataset, cols: list[str], k: int,
+                 sample_per_batch: int = 1024) -> tuple:
+    """Exact k-th smallest (1-indexed) tuple of ``cols`` in ``ds``."""
+    if k < 1:
+        raise ValueError("k is 1-indexed and must be >= 1")
+    sub = ds.select_columns(cols)
+    keys = [(c, "ascending") for c in cols]
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import uuid
+
+        n = t.num_rows
+        if n == 0:
+            s = t.slice(0, 0)
+            s = s.append_column("local_rank", pa.array([], pa.int64()))
+            s = s.append_column("batch_rows", pa.array([], pa.int64()))
+            return s.append_column(_TAG, pa.array([], pa.string()))
+        t = t.sort_by(keys)
+        stride = max(1, n // sample_per_batch)
+        idx = np.arange(0, n, stride, dtype=np.int64)
+        if idx[-1] != n - 1:
+            idx = np.append(idx, n - 1)
+        s = t.take(pa.array(idx))
+        s = s.append_column("local_rank", pa.array(idx, pa.int64()))
+        s = s.append_column("batch_rows", pa.array(np.full(len(idx), n), pa.int64()))
+        # the tag is assigned INSIDE the task: downstream block re-chunking
+        # must never merge two batches' rank sequences into one group
+        tag = uuid.uuid4().hex
+        return s.append_column(_TAG, pa.array([tag] * len(idx), pa.string()))
+
+    samples = (sub.map_batches(summarize, batch_format="pyarrow")
+               .to_pandas())  # O(N / stride) rows by construction
+    if samples.empty:
+        raise ValueError("k out of range for an empty dataset")
+    total = int(samples.groupby(_TAG)["batch_rows"].first().sum())
+    if not (1 <= k <= total):
+        raise ValueError(f"k={k} out of range for {total} rows")
+    samples = samples.sort_values(cols, kind="stable").reset_index(drop=True)
+
+    # guaranteed rank bounds from exact local ranks (see retention._bracket)
+    r = samples["local_rank"].to_numpy()
+    prev_plus1 = samples.groupby(_TAG)["local_rank"].shift().fillna(-1.0) + 1.0
+    delta = (r + 1).astype(np.int64) - prev_plus1.to_numpy().astype(np.int64)
+    lb_excl = np.concatenate([[0], np.cumsum(delta)[:-1]])
+    next_r = samples.groupby(_TAG)["local_rank"].shift(-1)
+    next_r = next_r.fillna(samples["batch_rows"].astype(float)).to_numpy().astype(np.int64)
+    ub = total + np.cumsum((r - next_r)[::-1])[::-1]
+    lo_idx = np.flatnonzero(ub < k)
+    lo_j = int(lo_idx[-1]) if len(lo_idx) else 0    # global min always safe
+    hi_idx = np.flatnonzero(lb_excl >= k)
+    hi_j = int(hi_idx[0]) if len(hi_idx) else len(samples) - 1  # global max safe
+    lo = tuple(samples.iloc[lo_j][c] for c in cols)
+    hi = tuple(samples.iloc[hi_j][c] for c in cols)
+
+    def window(t: pa.Table) -> pa.Table:
+        below = lex_lt(t, cols, lo, strict=True)
+        n_below = pc.sum(pc.cast(below, pa.int64())).as_py() or 0
+        w = t.filter(pc.and_(pc.invert(below), lex_lt(t, cols, hi, strict=False)))
+        if w.num_rows:
+            nb = np.zeros(w.num_rows, dtype=np.int64)
+            nb[0] = n_below  # batch's below-count rides on its first row
+            return w.append_column("__n_below", pa.array(nb, pa.int64()))
+        return pa.table({**{c: pa.array([None], t.column(c).type) for c in cols},
+                         "__n_below": pa.array([n_below], pa.int64())})
+
+    win = sub.map_batches(window, batch_format="pyarrow").to_pandas()
+    n_below = int(win["__n_below"].sum())
+    rows = win.dropna(subset=[cols[0]]).sort_values(cols, kind="stable")
+    pos = k - n_below - 1
+    assert 0 <= pos < len(rows), (
+        f"selection window missed rank {k} (below={n_below}, window={len(rows)})")
+    return tuple(rows.iloc[pos][c] for c in cols)
