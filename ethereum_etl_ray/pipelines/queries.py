@@ -588,6 +588,32 @@ def q_multimodal_decode(sf_dir: str):
     return decode_blobs(blobs)
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sampling explode over video-shaped blobs (every 4th frame, one
+    row per sampled frame with the parent key) — media analogue of E2/E5."""
+    from ethereum_etl_ray.stages.multimodal import (
+        DecodeImage,
+        make_blob_batch,
+        sample_frames,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    blobs = ds.map_batches(make_blob_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    frames = sample_frames(blobs, every_k=4)
+
+    def shape(t: pa.Table) -> pa.Table:
+        d = DecodeImage()(t)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "frame_idx": pc.cast(t.column("frame_idx"), pa.int64()),
+            "width": pc.cast(d.column("width"), pa.int64()),
+            "height": pc.cast(d.column("height"), pa.int64()),
+        })
+
+    return frames.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cms_heavy_hitters(sf_dir: str):
     """Approximate heavy hitters via mergeable count-min sketch (scale path)."""
     from ethereum_etl_ray.stages.sketch import sketch_heavy_hitters
@@ -817,6 +843,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "random_sample": q_random_sample,
     "deterministic_sample": q_deterministic_sample,
@@ -1071,6 +1098,17 @@ ORACLE_SQL = {
         FROM documents
     """,
 }
+ORACLE_SQL["multimodal_frames"] = f"""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, CAST(h - 1 AS BIGINT), 4)) AS BIGINT)
+             AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(1 AS BIGINT) AS height
+    FROM (
+      SELECT doc_id, {_MM_W} AS w,
+             GREATEST(1, (length(text) + {_MM_W} - 1) // {_MM_W}) AS h
+      FROM documents
+    )
+"""
 ORACLE_SQL["ann_ivf_topk"] = ORACLE_SQL["embedding_topk"]
 ORACLE_SQL["ann_ivf_persisted"] = ORACLE_SQL["embedding_topk"]
 ORACLE_SQL["embedding_cosine_pairs"] = """
