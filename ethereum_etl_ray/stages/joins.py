@@ -28,29 +28,41 @@ import ray
 import ray.data
 
 
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right outer"}
+
+
 def broadcast_lookup(
     ds: ray.data.Dataset,
-    small_df: pd.DataFrame,
+    small_df,
     *,
     left_on: str,
     right_on: str,
     how: str = "inner",
     concurrency: int | None = None,
 ) -> ray.data.Dataset:
-    """Equi-join where the right side is broadcast (dimension-table join)."""
-    ref = ray.put(small_df)
+    """Equi-join where the right side is broadcast (dimension-table join).
+
+    Arrow-native: the build side ships once as an Arrow table (``ray.put``,
+    zero-copy reads per actor) and each batch joins via Acero
+    (``pa.Table.join``) — no pandas round-trip in the hot path."""
+    right = (pa.Table.from_pandas(small_df, preserve_index=False)
+             if isinstance(small_df, pd.DataFrame) else small_df)
+    ref = ray.put(right)
+    join_type = _ARROW_JOIN_TYPE.get(how, how)
 
     class Lookup:
         def __init__(self):
             self.right = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.right, how=how, left_on=left_on, right_on=right_on)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.right, keys=[left_on], right_keys=[right_on],
+                              join_type=join_type)
 
     from ethereum_etl_ray.util import pool_size
 
-    return ds.map_batches(Lookup, batch_format="pandas",
-                          concurrency=pool_size(concurrency))
+    return ds.map_batches(Lookup, batch_format="pyarrow",
+                          concurrency=pool_size(concurrency),
+                          zero_copy_batch=True)
 
 
 def semi_anti_filter(

@@ -1,0 +1,46 @@
+"""Join-stage unit tests (stages.joins)."""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from ethereum_etl_ray.stages.joins import broadcast_lookup, bucketed_asof
+
+
+def test_broadcast_lookup_inner_and_left():
+    ds = ray.data.from_items([{"k": 1, "v": "a"}, {"k": 2, "v": "b"},
+                              {"k": 9, "v": "c"}])
+    dim = pd.DataFrame({"key": [1, 2], "name": ["one", "two"]})
+    inner = broadcast_lookup(ds, dim, left_on="k", right_on="key").to_pandas()
+    assert sorted(zip(inner.k, inner.name)) == [(1, "one"), (2, "two")]
+    left = broadcast_lookup(ds, dim, left_on="k", right_on="key",
+                            how="left").to_pandas()
+    assert len(left) == 3
+    assert left.set_index("k").loc[9, "name"] is None or \
+        pd.isna(left.set_index("k").loc[9, "name"])
+
+
+def test_bucketed_asof_backward_semantics():
+    left = ray.data.from_items([
+        {"eid": 1, "who": 10, "t": 5},
+        {"eid": 2, "who": 10, "t": 12},
+        {"eid": 3, "who": 20, "t": 7},
+        {"eid": 4, "who": 30, "t": 9},   # no right rows for this key
+    ])
+    right = ray.data.from_items([
+        {"rk": 10, "rt": 4, "val": "x"},
+        {"rk": 10, "rt": 11, "val": "y"},
+        {"rk": 20, "rt": 8, "val": "z"},  # after left t=7 → no match
+    ])
+    out = bucketed_asof(left, right, left_ts="t", right_ts="rt",
+                        left_by="who", right_by="rk",
+                        num_partitions=4).to_pandas()
+    got = dict(zip(out.eid, out.val))
+    assert got == {1: "x", 2: "y"}  # eid 3 (no earlier right) and 4 dropped
+
+
+def test_bucketed_asof_rejects_overlapping_columns():
+    a = ray.data.from_items([{"k": 1, "t": 1}])
+    b = ray.data.from_items([{"k": 1, "t": 1}])
+    with pytest.raises(ValueError, match="disjoint"):
+        bucketed_asof(a, b, left_ts="t", right_ts="t", left_by="k", right_by="k")
