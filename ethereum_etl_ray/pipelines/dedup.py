@@ -119,9 +119,19 @@ def _ngram_sets(text: str, n: int) -> set:
     return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
-def _rename_col(ds: ray.data.Dataset, old: str, new: str) -> ray.data.Dataset:
+def _rename_col(ds: ray.data.Dataset, old: str, new: str,
+                ensure: dict | None = None) -> ray.data.Dataset:
+    """Rename ``old``→``new`` per batch; with ``ensure`` (name→arrow type),
+    also conform every block to exactly those columns — hash joins emit
+    zero-column empty blocks that would otherwise break the next join."""
+
     def rn(t: pa.Table) -> pa.Table:
-        return t.rename_columns([new if c == old else c for c in t.column_names])
+        t = t.rename_columns([new if c == old else c for c in t.column_names])
+        if ensure is None:
+            return t
+        return pa.table({
+            c: (t.column(c) if c in t.column_names else pa.array([], typ))
+            for c, typ in ensure.items()})
 
     return ds.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -161,7 +171,12 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
     j = j.join(docs, join_type="inner", num_partitions=n_parts,
                on=("doc_b",), right_on=(id_col,))
     j = _rename_col(j, text_col, "__text_b")
+    out = j.map_batches(_make_verifier(threshold, ngram),
+                        batch_format="pyarrow").to_pandas()
+    return out if not out.empty else empty
 
+
+def _make_verifier(threshold: float, ngram: int):
     def verify(t: pa.Table) -> pa.Table:
         da = t.column("doc_a").to_numpy()
         db = t.column("doc_b").to_numpy()
@@ -181,13 +196,85 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
             "jaccard_ppm": pa.array([r[2] for r in rows], pa.int64()),
         })
 
-    out = j.map_batches(verify, batch_format="pyarrow").to_pandas()
-    return out if not out.empty else empty
+    return verify
+
+
+def minhash_candidate_pairs_ds(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                               text_col: str = "text", num_perm: int = 128,
+                               bands: int = 16, ngram: int = 3,
+                               max_bucket: int = DEFAULT_MAX_BUCKET
+                               ) -> ray.data.Dataset:
+    """Streaming variant of ``minhash_candidate_pairs``: the candidate set
+    never touches the driver. Cross-band duplicates are removed by a
+    distributed group-by on the pair key — at web scale the candidate set
+    (boilerplate clusters) is itself big data."""
+    banded = ds.map_batches(_signature_stage(num_perm, bands, ngram, id_col, text_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    pairs = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(lambda g: _pairs_from_groups(g, id_col, max_bucket),
+                    batch_format="pandas")
+    )
+    deduped = pairs.groupby(["doc_a", "doc_b"]).count()
+
+    def norm(t: pa.Table) -> pa.Table:
+        # empty groups can emit zero-column blocks; the downstream hash join
+        # requires every block to carry the key schema
+        if "doc_a" not in t.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_a": pc.cast(t.column("doc_a"), pa.int64()),
+                         "doc_b": pc.cast(t.column("doc_b"), pa.int64())})
+
+    return deduped.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def verify_jaccard_pairs_ds(ds: ray.data.Dataset, pairs_ds: ray.data.Dataset, *,
+                            threshold: float = 0.7, ngram: int = 3,
+                            id_col: str = "doc_id", text_col: str = "text"
+                            ) -> ray.data.Dataset:
+    """Streaming verify: candidate pairs arrive as a Dataset and are joined
+    against the (distributed) texts via the engine's co-group join — nothing
+    output-sized is assumed, and it composes downstream of the candidate
+    dedupe aggregate (where ``Dataset.join`` breaks on this Ray version)."""
+    import pyarrow.compute as pc
+
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    def side(tag):
+        def rn(t: pa.Table) -> pa.Table:
+            return pa.table({f"__id_{tag}": t.column(id_col),
+                             f"__text_{tag}": pc.cast(t.column(text_col),
+                                                      pa.string())})
+        return rn
+
+    docs_a = ds.map_batches(side("a"), batch_format="pyarrow", zero_copy_batch=True)
+    docs_b = ds.map_batches(side("b"), batch_format="pyarrow", zero_copy_batch=True)
+    j = cogroup_join(pairs_ds, docs_a, left_on="doc_a", right_on="__id_a")
+    j = j.map_batches(lambda t: t.drop_columns(["__id_a"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    j = cogroup_join(j, docs_b, left_on="doc_b", right_on="__id_b")
+    j = j.map_batches(lambda t: t.drop_columns(["__id_b"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    return j.map_batches(_make_verifier(threshold, ngram), batch_format="pyarrow")
 
 
 def minhash_lsh_dedup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.7,
                             num_perm: int = 128, bands: int = 16, ngram: int = 3,
-                            id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+                            id_col: str = "doc_id", text_col: str = "text",
+                            streaming: bool = False):
+    """End-to-end near-dup pairs. ``streaming=True`` keeps the whole pipeline
+    (banding → candidate dedupe → text join → verify) as Datasets — the
+    100 TB shape; default collects (small corpora / driver oracle)."""
+    if streaming:
+        cands = minhash_candidate_pairs_ds(ds, id_col=id_col, text_col=text_col,
+                                           num_perm=num_perm, bands=bands,
+                                           ngram=ngram)
+        return verify_jaccard_pairs_ds(ds, cands, threshold=threshold,
+                                       ngram=ngram, id_col=id_col,
+                                       text_col=text_col)
     cands = minhash_candidate_pairs(ds, id_col=id_col, text_col=text_col,
                                     num_perm=num_perm, bands=bands, ngram=ngram)
     out = verify_jaccard_pairs(ds, cands, threshold=threshold, ngram=ngram,

@@ -215,6 +215,84 @@ def bucketed_asof(
     return both.groupby("__part").map_groups(asof_group, batch_format="pyarrow")
 
 
+def cogroup_join(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Hash co-group equi-join built on the engine's own partitioner
+    (union + key-hash partition + per-group pandas merge).
+
+    Exists because this Ray version's ``Dataset.join`` breaks when its input
+    comes out of a hash aggregate (groupby emits empty zero-column blocks
+    that poison the join partitions) — this shape is proven downstream of
+    aggregates (cf. ``bucketed_asof`` + the asof_join_orders oracle).
+    Column names must be disjoint across sides."""
+    from ethereum_etl_ray.functions.hashing import partition_ids
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, cpus)
+    # normalize to Arrow blocks first: pandas-block datasets (e.g. map_groups
+    # output) report numpy dtypes from .schema(), which pa.nulls can't build
+    left_ds = left_ds.map_batches(lambda t: t, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    right_ds = right_ds.map_batches(lambda t: t, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"cogroup_join requires disjoint column names, got {overlap}")
+    unified = [(n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+               for n, t in (list(zip(l_cols, l_schema.types))
+                            + list(zip(r_cols, r_schema.types)))]
+
+    def widen(side_flag: int, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for name, typ in unified:
+                cols[name] = (t.column(name) if name in t.column_names
+                              else pa.nulls(t.num_rows, typ))
+            cols["__side"] = pa.array(np.full(t.num_rows, side_flag), pa.int8())
+            key = cols[key_col]
+            cols["__part"] = pa.array(
+                partition_ids(key, num_partitions) if t.num_rows
+                else np.array([], np.int32), pa.int32())
+            return pa.table(cols)
+
+        return fn
+
+    both = (
+        left_ds.map_batches(widen(0, left_on), batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .union(right_ds.map_batches(widen(1, right_on), batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    )
+
+    def join_group(g: pa.Table) -> pd.DataFrame:
+        side = g.column("__side")
+        lt = g.filter(pa.compute.equal(side, pa.scalar(0, pa.int8()))).select(l_cols)
+        rt = g.filter(pa.compute.equal(side, pa.scalar(1, pa.int8()))).select(r_cols)
+        if lt.num_rows == 0 or (how == "inner" and rt.num_rows == 0):
+            return pa.table({n: pa.nulls(0, t) for n, t in unified}).to_pandas()
+        out = lt.to_pandas().merge(rt.to_pandas(), how=how,
+                                   left_on=left_on, right_on=right_on)
+        # pandas null-padding silently widens int64 → float64; restore the
+        # declared types (nullable Int64) or a downstream key-hash would see
+        # floats and partition differently
+        for name, typ in unified:
+            if pa.types.is_integer(typ) and out[name].dtype.kind == "f":
+                out[name] = out[name].astype("Int64")
+        return out
+
+    return both.groupby("__part").map_groups(join_group, batch_format="pyarrow")
+
+
 def enrich_with(
     ds: ray.data.Dataset,
     fn: Callable[[pd.DataFrame], pd.DataFrame],

@@ -114,6 +114,15 @@ def test_verify_pairs_is_distributed_and_exact(planted):
     assert got[(4, 5)] == 0
 
 
+def test_streaming_path_equals_collected_path(planted):
+    """The all-Dataset pipeline (candidates never on the driver) must produce
+    exactly the collected path's verified pairs."""
+    collected = minhash_lsh_dedup_pairs(planted, threshold=0.5)
+    streamed = (minhash_lsh_dedup_pairs(planted, threshold=0.5, streaming=True)
+                .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert streamed.equals(collected)
+
+
 def test_jaccard_edge_cases():
     assert jaccard(set(), set()) == 1.0
     assert jaccard({1}, set()) == 0.0

@@ -39,6 +39,23 @@ def test_bucketed_asof_backward_semantics():
     assert got == {1: "x", 2: "y"}  # eid 3 (no earlier right) and 4 dropped
 
 
+def test_cogroup_join_inner_left_and_post_aggregate():
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    left = ray.data.from_items([{"k": 1, "v": "a"}, {"k": 1, "v": "a"},
+                                {"k": 2, "v": "b"}, {"k": 9, "v": "c"}])
+    right = ray.data.from_items([{"rk": 1, "name": "one"}, {"rk": 2, "name": "two"}])
+    # left side produced by a hash AGGREGATE — the case Dataset.join breaks on
+    dl = left.groupby(["k", "v"]).map_groups(lambda g: g.head(1),
+                                             batch_format="pandas")
+    inner = cogroup_join(dl, right, left_on="k", right_on="rk",
+                         num_partitions=4).to_pandas()
+    assert sorted(zip(inner.k, inner.name)) == [(1, "one"), (2, "two")]
+    lj = cogroup_join(dl, right, left_on="k", right_on="rk", how="left",
+                      num_partitions=4).to_pandas()
+    assert len(lj) == 3 and pd.isna(lj.set_index("k").loc[9, "name"])
+
+
 def test_bucketed_asof_rejects_overlapping_columns():
     a = ray.data.from_items([{"k": 1, "t": 1}])
     b = ray.data.from_items([{"k": 1, "t": 1}])
