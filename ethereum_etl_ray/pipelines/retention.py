@@ -208,11 +208,23 @@ def compact_lake(out_dir: str, row_group_rows: int = 65536) -> dict:
     so fragmented groups cost read amplification), then GC superseded files.
     Partition-parallel map — no shuffle, content unchanged (checksums must
     match the manifest)."""
-    from ethereum_etl_ray.state.manifest import gc_uncommitted
+    from ethereum_etl_ray.state.manifest import (
+        acquire_replay_lock,
+        gc_uncommitted,
+        release_replay_lock,
+    )
 
     manifest = load_manifest(out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed manifest in {out_dir}")
+    lock = acquire_replay_lock(out_dir)  # writer-exclusive with replay/GC
+    try:
+        return _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted)
+    finally:
+        release_replay_lock(lock)
+
+
+def _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted) -> dict:
     wm = manifest.watermark
     entries = [(int(p), e) for p, e in manifest.partitions.items() if e.rows > 0]
 
@@ -251,10 +263,21 @@ def compact_lake(out_dir: str, row_group_rows: int = 65536) -> dict:
 
 def apply_retention(out_dir: str, keep_ratio: float = 0.9) -> dict:
     """Evict the oldest ``1-keep_ratio`` of lake rows (exactly
-    ``floor(n·(1-keep_ratio))`` rows). Returns stats."""
+    ``floor(n·(1-keep_ratio))`` rows). Returns stats. Holds the lake's
+    replay lock for the rewrite+commit (writer-exclusive with replay/GC)."""
+    from ethereum_etl_ray.state.manifest import acquire_replay_lock, release_replay_lock
+
     manifest = load_manifest(out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed manifest in {out_dir}")
+    lock = acquire_replay_lock(out_dir)
+    try:
+        return _apply_retention_locked(out_dir, manifest, keep_ratio)
+    finally:
+        release_replay_lock(lock)
+
+
+def _apply_retention_locked(out_dir: str, manifest, keep_ratio: float) -> dict:
     cutoff = _cutoff_version(out_dir, manifest, keep_ratio)
     if cutoff is None:
         return {"evicted": 0, "partitions_rewritten": 0}

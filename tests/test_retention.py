@@ -49,6 +49,24 @@ def test_retention_noop_at_full_ratio(lake):
     assert load_lake(lake).count() == n
 
 
+def test_retention_refuses_during_live_replay(lake):
+    """Retention rewrites + commits; racing a live replay would corrupt the
+    lake — it must refuse while a foreign lock is held."""
+    import os
+
+    from ethereum_etl_ray.state.manifest import REPLAY_LOCK
+
+    path = os.path.join(lake, REPLAY_LOCK)
+    with open(path, "w") as f:
+        f.write("1")  # live foreign pid
+    with pytest.raises(RuntimeError, match="another replay"):
+        apply_retention(lake, keep_ratio=0.9)
+    os.remove(path)
+    assert apply_retention(lake, keep_ratio=1.0) == {
+        "evicted": 0, "partitions_rewritten": 0}
+    assert not os.path.exists(path)  # lock released
+
+
 def test_gc_removes_superseded_files(lake):
     apply_retention(lake, keep_ratio=0.5)
     removed = gc_uncommitted(lake)
