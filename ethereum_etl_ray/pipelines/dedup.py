@@ -66,10 +66,16 @@ def _signature_stage(num_perm: int, bands: int, ngram: int,
         sigs = minhash_signatures(sh, counts, num_perm=num_perm)
         bh = lsh_band_hashes(sigs, bands=bands)  # (n_docs, bands)
         n = batch.num_rows
+        flat = bh.ravel()
         return pa.table({
             id_col: pa.array(np.repeat(batch.column(id_col).to_numpy(), bands), pa.int64()),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
-            "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
+            "band_hash": pa.array(flat.view(np.int64), pa.int64()),
+            # coarse bucket → the pair groupby has O(bands × buckets) groups
+            # (vectorized run detection inside), never one whole-corpus group
+            # per band nor one dispatch per distinct hash
+            "hash_bucket": pa.array((flat % np.uint64(_HASH_BUCKETS)).astype(np.int32),
+                                    pa.int32()),
         })
     return stage
 
@@ -79,18 +85,44 @@ def _signature_stage(num_perm: int, bands: int, ngram: int,
 # (logged) — run exact_dedup first so identical texts never reach LSH.
 DEFAULT_MAX_BUCKET = 256
 
+# coarse groupby fan-out for candidate-pair generation (see _pairs_from_groups)
+_HASH_BUCKETS = 1024
+
 
 def _pairs_from_groups(group: pd.DataFrame, id_col: str,
                        max_bucket: int = DEFAULT_MAX_BUCKET) -> pd.DataFrame:
-    ids = np.unique(group[id_col].to_numpy())
-    if len(ids) < 2:
+    """Candidate pairs for one (band, hash_bucket) group: equal band_hash
+    values always co-locate, the fan-out stays at bands×_HASH_BUCKETS groups
+    (grouping by raw (band, band_hash) made ~1 tiny group per doc and
+    per-group dispatch dominated; grouping by band alone would put the whole
+    corpus/bands in ONE task at scale), and the band_hash runs inside are
+    found vectorized."""
+    g = group.sort_values("band_hash", kind="stable")
+    h = g["band_hash"].to_numpy()
+    ids_all = g[id_col].to_numpy()
+    if len(h) < 2:
         return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
-    if len(ids) > max_bucket:
-        print(f"[dedup] dropping degenerate LSH bucket: {len(ids)} docs "
-              f"(band={group['band'].iat[0]}) exceeds max_bucket={max_bucket}")
+    bounds = np.flatnonzero(np.diff(h)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(h)]])
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        ids = np.unique(ids_all[s:e])
+        if len(ids) < 2:
+            continue
+        if len(ids) > max_bucket:
+            print(f"[dedup] dropping degenerate LSH bucket: {len(ids)} docs "
+                  f"(band={group['band'].iat[0]}) exceeds max_bucket={max_bucket}")
+            continue
+        a, b = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[a])
+        out_b.append(ids[b])
+    if not out_a:
         return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b)})
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, *, id_col: str = "doc_id",
@@ -102,7 +134,7 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     banded = ds.map_batches(_signature_stage(num_perm, bands, ngram, id_col, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
     pairs = (
-        banded.groupby(["band", "band_hash"])
+        banded.groupby(["band", "hash_bucket"])
         .map_groups(lambda g: _pairs_from_groups(g, id_col, max_bucket),
                     batch_format="pandas")
     ).to_pandas()
@@ -211,7 +243,7 @@ def minhash_candidate_pairs_ds(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     banded = ds.map_batches(_signature_stage(num_perm, bands, ngram, id_col, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
     pairs = (
-        banded.groupby(["band", "band_hash"])
+        banded.groupby(["band", "hash_bucket"])
         .map_groups(lambda g: _pairs_from_groups(g, id_col, max_bucket),
                     batch_format="pandas")
     )
@@ -292,34 +324,58 @@ def simhash_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
         n = batch.num_rows
         bands = np.stack([(sig >> np.uint64(s)) & np.uint64(0xFFFF)
                           for s in (0, 16, 32, 48)], axis=1)
+        flat = bands.ravel()
         return pa.table({
             id_col: pa.array(np.repeat(batch.column(id_col).to_numpy(), 4), pa.int64()),
             "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
-            "band_hash": pa.array(bands.ravel().view(np.int64), pa.int64()),
+            "band_hash": pa.array(flat.view(np.int64), pa.int64()),
+            "hash_bucket": pa.array((flat % np.uint64(_HASH_BUCKETS)).astype(np.int32),
+                                    pa.int32()),
             "sig": pa.array(np.repeat(sig.view(np.int64), 4), pa.int64()),
         })
 
     banded = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = g["sig"].to_numpy().view(np.uint64)
-        if len(ids) < 2 or len(ids) > DEFAULT_MAX_BUCKET:
-            if len(ids) > DEFAULT_MAX_BUCKET:
+        # one group PER BAND (grouping by (band, hash) is ~1 tiny group per
+        # doc and dispatch dominates); band_hash runs detected vectorized
+        g = (group.drop_duplicates(subset=[id_col, "band_hash"])
+             .sort_values(["band_hash", id_col], kind="stable"))
+        h = g["band_hash"].to_numpy()
+        ids_all = g[id_col].to_numpy()
+        sigs_all = g["sig"].to_numpy().view(np.uint64)
+        if len(h) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []},
+                                dtype=np.int64)
+        bounds = np.flatnonzero(np.diff(h)) + 1
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(np.concatenate([[0], bounds]),
+                        np.concatenate([bounds, [len(h)]])):
+            n = e - s
+            if n < 2:
+                continue
+            if n > DEFAULT_MAX_BUCKET:
                 print(f"[dedup] dropping degenerate SimHash bucket: "
-                      f"{len(ids)} docs > {DEFAULT_MAX_BUCKET}")
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}, dtype=np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        x = np.bitwise_xor(sigs[a], sigs[b])
-        # vectorized popcount: 8 bytes per uint64, unpack and sum the bits
-        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1) \
-            .astype(np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
-                             "hamming": ham[keep]})
+                      f"{n} docs > {DEFAULT_MAX_BUCKET}")
+                continue
+            ids, sigs = ids_all[s:e], sigs_all[s:e]
+            a, b = np.triu_indices(n, k=1)
+            x = np.bitwise_xor(sigs[a], sigs[b])
+            # vectorized popcount: 8 bytes per uint64, unpack and sum bits
+            ham = np.unpackbits(np.ascontiguousarray(x)[:, None].view(np.uint8),
+                                axis=1).sum(axis=1).astype(np.int64)
+            keep = ham <= max_hamming
+            out_a.append(ids[a][keep])
+            out_b.append(ids[b][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []},
+                                dtype=np.int64)
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
-    out = (banded.groupby(["band", "band_hash"])
+    out = (banded.groupby(["band", "hash_bucket"])
            .map_groups(pairs, batch_format="pandas")).to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
