@@ -489,6 +489,30 @@ def q_quality_docs(sf_dir: str):
                                "mtl_c", "quality_ppm"])
 
 
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish tokenizer token counts (GPT-2-style pretokenizer pattern,
+    lookahead-free so RE2 semantics match between Arrow and DuckDB): the
+    token-budget accounting a training pipeline runs per document, alongside
+    the whitespace count."""
+    from ethereum_etl_ray.functions.textstats import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_ws_tokens": token_count(t.column("text")),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(t.column("text"), pattern=_BPE_PAT),
+                pa.int64()),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_winnow_fingerprint(sf_dir: str):
     from ethereum_etl_ray.functions.textstats import rolling_fingerprint_batch
 
@@ -835,6 +859,7 @@ QUERIES = {
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "bpe_token_count": q_bpe_token_count,
     "embedding_topk": q_embedding_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_persisted": q_ann_ivf_persisted,
@@ -1069,6 +1094,15 @@ ORACLE_SQL = {
             FROM documents
           )
         )
+    """,
+    "bpe_token_count": f"""
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                 AS n_ws_tokens,
+               CAST(length(regexp_extract_all(text,
+                 ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents
     """,
     "embedding_topk": f"""
         WITH q AS (

@@ -48,7 +48,7 @@ ORACLED = [
     "embedding_topk", "ann_ivf_topk", "multimodal_decode",
     "enrich_segment_spend", "graph_reach", "ann_ivf_persisted",
     "embedding_cosine_pairs", "deterministic_sample", "cap_per_key",
-    "multimodal_frames",
+    "multimodal_frames", "bpe_token_count",
 ]
 
 ROWS_ONLY = ["winnow_fingerprint", "minhash_lsh_pairs", "simhash_pairs",
