@@ -199,10 +199,14 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
     pairs_ds = ray.data.from_pandas(pairs[["doc_a", "doc_b"]])
     j = pairs_ds.join(docs, join_type="inner", num_partitions=n_parts,
                       on=("doc_a",), right_on=(id_col,))
-    j = _rename_col(j, text_col, "__text_a")
+    j = _rename_col(j, text_col, "__text_a",
+                    ensure={"doc_a": pa.int64(), "doc_b": pa.int64(),
+                            "__text_a": pa.string()})
     j = j.join(docs, join_type="inner", num_partitions=n_parts,
                on=("doc_b",), right_on=(id_col,))
-    j = _rename_col(j, text_col, "__text_b")
+    j = _rename_col(j, text_col, "__text_b",
+                    ensure={"doc_a": pa.int64(), "doc_b": pa.int64(),
+                            "__text_a": pa.string(), "__text_b": pa.string()})
     out = j.map_batches(_make_verifier(threshold, ngram),
                         batch_format="pyarrow").to_pandas()
     return out if not out.empty else empty

@@ -397,11 +397,15 @@ def _ns_edges(t: pa.Table, src_prefix: str, src: str, dst_prefix: str, dst: str
               ) -> pa.Table:
     """Namespaced string edges ("o:123" → "c:45") from two key columns."""
     n = t.num_rows
+    # explicit string type: pa.array([]) infers null and the join kernel has
+    # no (null, string, string) overload — zero-row blocks must pass through
     return pa.table({
         "src": pc.binary_join_element_wise(
-            pa.array([src_prefix] * n), pc.cast(t.column(src), pa.string()), ""),
+            pa.array([src_prefix] * n, pa.string()),
+            pc.cast(t.column(src), pa.string()), ""),
         "dst": pc.binary_join_element_wise(
-            pa.array([dst_prefix] * n), pc.cast(t.column(dst), pa.string()), ""),
+            pa.array([dst_prefix] * n, pa.string()),
+            pc.cast(t.column(dst), pa.string()), ""),
     })
 
 
@@ -563,13 +567,13 @@ def q_ann_ivf_persisted(sf_dir: str):
     """Persisted-IVF path: k-means index built + written as bucket-partitioned
     parquet, probe reads only bucket directories. nprobe=all ⇒ exact, so it
     shares the brute-force oracle."""
-    import hashlib
-    import shutil
+    import tempfile
 
     from ethereum_etl_ray.stages.ann import build_ivf_index, ivf_search
 
-    idx = f"/tmp/webcdc_ivf/{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
-    shutil.rmtree(idx, ignore_errors=True)
+    # per-run unique dir: a fixed sf_dir-keyed path would let a concurrent
+    # run's rmtree race this one's in-flight probe reads
+    idx = tempfile.mkdtemp(prefix="webcdc_ivf_")
     ids, mat = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     build_ivf_index(ds, idx, n_centroids=8, kmeans_iters=2)
@@ -790,13 +794,12 @@ def q_stream_publish(sf_dir: str):
     publish the events table to the file-backed message queue from inside
     map_batches; returns the per-message publish summary. Idempotence and
     roundtrip are pytest-oracled (tests/test_sinks.py)."""
-    import hashlib
-    import shutil
+    import tempfile
 
     from ethereum_etl_ray.stages.sinks import make_publisher
 
-    q = f"/tmp/webcdc_queues/{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
-    shutil.rmtree(q, ignore_errors=True)
+    # per-run unique dir (see q_ann_ivf_persisted)
+    q = tempfile.mkdtemp(prefix="webcdc_queue_")
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     return ds.map_batches(make_publisher(q), batch_format="pyarrow")
 

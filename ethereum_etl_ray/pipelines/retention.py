@@ -233,15 +233,20 @@ def _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted) -> dict:
         for part in batch.column("part").to_pylist():
             entry = dict(entries)[part]
             t = pq.read_table(os.path.join(out_dir, entry.file))
+            # verify content BEFORE the rename lands anything on a path the
+            # committed manifest may already reference (re-compaction at the
+            # same watermark targets the live file)
+            checksum = content_checksum(t.column("url"), t.column("text"),
+                                        t.column("seq"))
+            if str(checksum) != entry.checksum:
+                raise RuntimeError(
+                    f"compaction read of partition {part} does not match its "
+                    f"manifest checksum — refusing to rewrite")
             rel = os.path.join(f"part={part:05d}", f"data-{wm}-c.parquet")
             tmp = os.path.join(out_dir, rel) + f".tmp.{os.getpid()}"
             os.makedirs(os.path.dirname(tmp), exist_ok=True)
             pq.write_table(t, tmp, row_group_size=row_group_rows)
             os.replace(tmp, os.path.join(out_dir, rel))
-            checksum = content_checksum(t.column("url"), t.column("text"),
-                                        t.column("seq"))
-            assert str(checksum) == entry.checksum, (
-                f"compaction would alter partition {part} content")
             out.append({"part": part, "rows": t.num_rows, "file": rel,
                         "checksum": str(checksum)})
         return pa.Table.from_pylist(out)

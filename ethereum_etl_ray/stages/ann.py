@@ -289,5 +289,12 @@ def ivf_search(index_dir: str, query_ids: np.ndarray, query_mat: np.ndarray,
             for b in sorted(set(probe.ravel().tolist()))]
     files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        # every probed centroid owns an empty cluster (k-means collapse on
+        # skewed data): no candidates, not an error
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "vec_id": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
     sub = ray.data.read_parquet(files, columns=[id_col, emb_col])
     return brute_force_topk(sub, query_ids, query_mat, k, id_col, emb_col)

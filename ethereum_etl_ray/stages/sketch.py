@@ -24,10 +24,12 @@ from ethereum_etl_ray.functions.hashing import hash64
 
 def partial_counts(batch: pa.Table, key: str) -> pa.Table:
     """map_batches combiner: exact per-batch key counts (≤ distinct keys rows).
-    Arrow-native (``pc.value_counts``) — no pandas round-trip in the hot path."""
+    Arrow-native (``pc.value_counts``) — no pandas round-trip in the hot path.
+    Nulls are excluded (SQL COUNT-by-key semantics; ``pc.value_counts`` would
+    otherwise emit a null-key row the previous pandas path never had)."""
     import pyarrow.compute as pc
 
-    vc = pc.value_counts(batch.column(key).combine_chunks())
+    vc = pc.value_counts(pc.drop_null(batch.column(key).combine_chunks()))
     return pa.table({key: vc.field("values"),
                      "partial_n": pc.cast(vc.field("counts"), pa.int64())})
 

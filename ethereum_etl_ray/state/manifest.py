@@ -94,7 +94,9 @@ REPLAY_LOCK = ".replay.lock"
 
 def _lock_holder_alive(path: str) -> bool:
     """True when the lock's recorded pid is a live *other* process. Our own
-    pid or a dead pid marks the lock stale (crashed run) and claimable."""
+    pid or a dead pid marks the lock stale (crashed run) and claimable.
+    EPERM from the probe signal means the process EXISTS (owned by another
+    user) — that is a live holder, not a stale lock."""
     try:
         pid = int(open(path).read().strip() or -1)
     except (OSError, ValueError):
@@ -103,8 +105,10 @@ def _lock_holder_alive(path: str) -> bool:
         return False
     try:
         os.kill(pid, 0)
-    except OSError:
+    except ProcessLookupError:
         return False
+    except PermissionError:
+        return True
     return True
 
 
@@ -112,18 +116,33 @@ def acquire_replay_lock(out_dir: str) -> str:
     """Advisory write lock so compaction/GC cannot race an in-flight replay
     (on a cluster ``out_dir`` is shared storage, so the lock file is visible
     to every driver; the pid liveness check is only meaningful node-local —
-    cross-node stale locks must be removed by the operator)."""
+    cross-node stale locks must be removed by the operator).
+
+    Atomic: creation uses ``O_CREAT|O_EXCL`` so two racing writers cannot
+    both acquire; a stale lock (dead or own pid) is removed and creation
+    retried — losing THAT race is also detected by the O_EXCL failure."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, REPLAY_LOCK)
-    if os.path.exists(path) and _lock_holder_alive(path):
-        raise RuntimeError(
-            f"another replay holds {path}; concurrent writers would corrupt "
-            "the lake (remove the lock only if that process is gone)")
-    with open(path, "w") as f:
-        f.write(str(os.getpid()))
-        f.flush()
-        os.fsync(f.fileno())
-    return path
+    for _ in range(8):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if _lock_holder_alive(path):
+                raise RuntimeError(
+                    f"another replay holds {path}; concurrent writers would "
+                    "corrupt the lake (remove the lock only if that process "
+                    "is gone)")
+            try:  # stale: claim by removing, then re-race the O_EXCL create
+                os.remove(path)
+            except OSError:
+                pass
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(str(os.getpid()))
+            f.flush()
+            os.fsync(f.fileno())
+        return path
+    raise RuntimeError(f"could not acquire {path} (livelocked on stale locks)")
 
 
 def release_replay_lock(path: str) -> None:
