@@ -106,6 +106,24 @@ def test_embedding_cosine_pairs_exact_and_bucketed(clustered):
     assert set(zip(bucketed.vec_a, bucketed.vec_b)) == set(zip(a, b))
 
 
+def test_ivf_search_empty_probed_buckets_returns_empty(tmp_path):
+    """k-means can leave empty clusters; probing only those must return an
+    empty result, not crash on a zero-path read."""
+    import json
+    import os
+
+    from ethereum_etl_ray.stages.ann import ivf_search
+
+    idx = str(tmp_path / "emptyidx")
+    os.makedirs(idx)
+    np.save(os.path.join(idx, "centroids.npy"), np.eye(2, 4))
+    json.dump({"n_centroids": 2, "emb_col": "embedding"},
+              open(os.path.join(idx, "ivf_meta.json"), "w"))
+    out = ivf_search(idx, np.array([0]), np.eye(1, 4), k=3, nprobe=1)
+    assert out.empty
+    assert list(out.columns) == ["query_id", "vec_id", "rank", "score"]
+
+
 def test_persisted_ivf_index_prunes_and_matches(clustered, tmp_path):
     from ethereum_etl_ray.stages.ann import build_ivf_index, ivf_search
 

@@ -60,3 +60,17 @@ def test_sketch_heavy_hitters_ranks_hot_key_first():
     assert df.iloc[0].url == "hot-key"
     truth = pd.Series(keys).value_counts()["hot-key"]
     assert df.iloc[0].est_n >= truth  # CMS never underestimates
+
+
+def test_heavy_hitters_exclude_null_keys():
+    """pc.value_counts counts nulls; the combiner must drop them (SQL
+    COUNT-by-key semantics — a null key must never become a heavy hitter)."""
+    import ray.data
+
+    from ethereum_etl_ray.stages.sketch import heavy_hitters
+
+    ds = ray.data.from_items([{"k": "a"}, {"k": "a"}, {"k": None},
+                              {"k": None}, {"k": None}, {"k": "b"}])
+    df = heavy_hitters(ds, "k", top_k=3)
+    assert df["k"].tolist() == ["a", "b"]
+    assert df["n"].tolist() == [2, 1]
