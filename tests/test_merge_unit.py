@@ -133,3 +133,40 @@ def test_events_to_merge_frame_adds_null_text():
     out = events_to_merge_frame(ev)
     assert out.schema.equals(MERGE_SCHEMA)
     assert pc.is_null(out["text"]).to_pylist() == [True]
+
+
+def test_lww_pick_random_matches_pandas_reference():
+    """Property check (seeded sweep): lww_pick on random tables — including
+    null keys and version ties — must match an independent pandas
+    groupby-idxmax/idxmin reference in both modes."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(99)
+    for trial in range(25):
+        n = int(rng.integers(1, 60))
+        keys = rng.choice(["a", "b", "c", None], size=n).tolist()
+        df = pd.DataFrame({
+            "url": keys,
+            "warc_ts": [dt.datetime(2024, 3, 1) + dt.timedelta(
+                seconds=int(s)) for s in rng.integers(0, 5, size=n)],
+            "seq": rng.integers(0, 50, size=n),
+        })
+        t = pa.table({
+            "url": pa.array(df.url, pa.string()),
+            "warc_ts": pa.array(df.warc_ts, pa.timestamp("us")),
+            "seq": pa.array(df.seq, pa.int64()),
+        })
+        for mode in ("replace", "ignore"):
+            got = lww_pick(t, mode=mode).to_pandas()
+            ref = df.copy()
+            ref["_k"] = ref.url.fillna("\x00<null>")
+            asc = mode == "ignore"
+            ref = (ref.sort_values(["warc_ts", "seq"], ascending=asc,
+                                   kind="stable")
+                   .drop_duplicates("_k", keep="first"))
+            want = {(k if k != "\x00<null>" else None): (ts, s) for k, ts, s
+                    in zip(ref._k, ref.warc_ts, ref.seq)}
+            gotmap = {u: (ts, s) for u, ts, s
+                      in zip(got.url, got.warc_ts, got.seq)}
+            assert gotmap == want, (trial, mode)
