@@ -567,17 +567,22 @@ def q_ann_ivf_persisted(sf_dir: str):
     """Persisted-IVF path: k-means index built + written as bucket-partitioned
     parquet, probe reads only bucket directories. nprobe=all ⇒ exact, so it
     shares the brute-force oracle."""
+    import shutil
     import tempfile
 
     from ethereum_etl_ray.stages.ann import build_ivf_index, ivf_search
 
     # per-run unique dir: a fixed sf_dir-keyed path would let a concurrent
-    # run's rmtree race this one's in-flight probe reads
+    # run's rmtree race this one's in-flight probe reads; removed once the
+    # (materialized) search result is in hand
     idx = tempfile.mkdtemp(prefix="webcdc_ivf_")
-    ids, mat = _query_vectors(sf_dir)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    build_ivf_index(ds, idx, n_centroids=8, kmeans_iters=2)
-    return ivf_search(idx, ids, mat, k=_TOPK, nprobe=None)
+    try:
+        ids, mat = _query_vectors(sf_dir)
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(ds, idx, n_centroids=8, kmeans_iters=2)
+        return ivf_search(idx, ids, mat, k=_TOPK, nprobe=None)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def q_minhash_lsh_pairs(sf_dir: str):
@@ -794,14 +799,20 @@ def q_stream_publish(sf_dir: str):
     publish the events table to the file-backed message queue from inside
     map_batches; returns the per-message publish summary. Idempotence and
     roundtrip are pytest-oracled (tests/test_sinks.py)."""
+    import shutil
     import tempfile
 
     from ethereum_etl_ray.stages.sinks import make_publisher
 
-    # per-run unique dir (see q_ann_ivf_persisted)
+    # per-run unique dir (see q_ann_ivf_persisted); the publish summary is
+    # materialized so the queue dir can be removed before returning
     q = tempfile.mkdtemp(prefix="webcdc_queue_")
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    return ds.map_batches(make_publisher(q), batch_format="pyarrow")
+    try:
+        ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        return ds.map_batches(make_publisher(q),
+                              batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(q, ignore_errors=True)
 
 
 def q_schema_evolution_audit(sf_dir: str):

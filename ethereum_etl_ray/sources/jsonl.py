@@ -41,11 +41,16 @@ def write_events_jsonl(events_dir: str, dest_dir: str) -> int:
         cols["warc_ts"] = pa.array(iso, pa.string())
         return pa.table(cols)
 
+    import pyarrow.parquet as pq
+
     ds = ray.data.read_parquet(events_dir).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True)
     os.makedirs(dest_dir, exist_ok=True)
     ds.write_json(dest_dir)
-    return ds.count()
+    # row count from source parquet footers — ds.count() would re-execute the
+    # whole read+encode pipeline a second time (Ray Datasets are lazy)
+    return sum(pq.read_metadata(os.path.join(events_dir, f)).num_rows
+               for f in os.listdir(events_dir) if f.endswith(".parquet"))
 
 
 def read_events_jsonl(dirs: list[str]) -> ray.data.Dataset:
@@ -72,11 +77,19 @@ def read_events_jsonl(dirs: list[str]) -> ray.data.Dataset:
         cols = {name: t.column(name) for name in t.column_names}
         cols["html"] = pa.array(html, pa.binary())
         cols["warc_ts"] = ts
-        # JSON integers land as int64; narrow wire fields back to declared
-        # widths BEFORE conform (conform only allows widenings)
-        for name, typ in [("fetch_status", pa.int32())]:
-            if name in cols:
-                cols[name] = pc.cast(cols[name], typ)
+        for name in list(cols):
+            field_idx = EVENTS_SCHEMA_V2.get_field_index(name)
+            if field_idx < 0:
+                continue
+            declared = EVENTS_SCHEMA_V2.field(field_idx).type
+            # JSON inference loses declared widths two ways: integers land as
+            # int64 (narrow back — conform only allows widenings) and
+            # all-null columns (e.g. a delete-only shard's lang) infer as
+            # Arrow `null`, which conform rejects
+            if (pa.types.is_null(cols[name].type)
+                    or (pa.types.is_integer(declared)
+                        and not cols[name].type.equals(declared))):
+                cols[name] = pc.cast(cols[name], declared)
         out = pa.table(cols)
         return conform_table(out, EVENTS_SCHEMA_V2)
 

@@ -231,8 +231,13 @@ def cogroup_join(
     comes out of a hash aggregate (groupby emits empty zero-column blocks
     that poison the join partitions) — this shape is proven downstream of
     aggregates (cf. ``bucketed_asof`` + the asof_join_orders oracle).
-    Column names must be disjoint across sides."""
+    Column names must be disjoint across sides; only ``inner`` and ``left``
+    are implemented (a right/outer join would need the empty-left partitions
+    to emit null-padded right rows)."""
     from ethereum_etl_ray.functions.hashing import partition_ids
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"cogroup_join supports how='inner'|'left', got {how!r}")
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -280,15 +285,21 @@ def cogroup_join(
         rt = g.filter(pa.compute.equal(side, pa.scalar(1, pa.int8()))).select(r_cols)
         if lt.num_rows == 0 or (how == "inner" and rt.num_rows == 0):
             return pa.table({n: pa.nulls(0, t) for n, t in unified}).to_pandas()
-        out = lt.to_pandas().merge(rt.to_pandas(), how=how,
-                                   left_on=left_on, right_on=right_on)
-        # pandas null-padding silently widens int64 → float64; restore the
-        # declared types (nullable Int64) or a downstream key-hash would see
-        # floats and partition differently
-        for name, typ in unified:
-            if pa.types.is_integer(typ) and out[name].dtype.kind == "f":
-                out[name] = out[name].astype("Int64")
-        return out
+        l, r = lt.to_pandas(), rt.to_pandas()
+        # restore nullable Int64 BEFORE the merge for every declared-integer
+        # column: the widened union carries nulls in the other side's
+        # columns, and Ray's shuffle (and pandas padding) converts such int
+        # columns to float64 — float-vs-int merge keys then mismatch, and
+        # ids above 2^53 would round (the cast is exact below that; larger
+        # ids need Ray to preserve nullable ints through shuffles)
+        declared = dict(unified)
+        for df_ in (l, r):
+            for name in df_.columns:
+                typ = declared.get(name)
+                if typ is not None and pa.types.is_integer(typ) \
+                        and df_[name].dtype.kind in "iuf":
+                    df_[name] = df_[name].astype("Int64")
+        return l.merge(r, how=how, left_on=left_on, right_on=right_on)
 
     return both.groupby("__part").map_groups(join_group, batch_format="pyarrow")
 

@@ -25,8 +25,11 @@ from ethereum_etl_ray.functions.hashing import hash64
 def partial_counts(batch: pa.Table, key: str) -> pa.Table:
     """map_batches combiner: exact per-batch key counts (≤ distinct keys rows).
     Arrow-native (``pc.value_counts``) — no pandas round-trip in the hot path.
-    Nulls are excluded (SQL COUNT-by-key semantics; ``pc.value_counts`` would
-    otherwise emit a null-key row the previous pandas path never had)."""
+    Null keys are excluded — matching the original pandas ``value_counts``
+    behavior this replaced (a null key is never a valid skew-salting or
+    heavy-hitter candidate; the CDC path quarantines null keys upstream).
+    Note this differs from SQL ``GROUP BY``, which keeps a NULL group —
+    callers needing that must filter/handle nulls themselves."""
     import pyarrow.compute as pc
 
     vc = pc.value_counts(pc.drop_null(batch.column(key).combine_chunks()))

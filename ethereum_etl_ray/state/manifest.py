@@ -119,8 +119,10 @@ def acquire_replay_lock(out_dir: str) -> str:
     cross-node stale locks must be removed by the operator).
 
     Atomic: creation uses ``O_CREAT|O_EXCL`` so two racing writers cannot
-    both acquire; a stale lock (dead or own pid) is removed and creation
-    retried — losing THAT race is also detected by the O_EXCL failure."""
+    both acquire. A stale lock (dead or own pid) is claimed by RENAMING it
+    to a unique name first — exactly one claimant's rename succeeds (a bare
+    remove would let the loser delete the winner's freshly created lock) —
+    then re-racing the O_EXCL create."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, REPLAY_LOCK)
     for _ in range(8):
@@ -132,10 +134,12 @@ def acquire_replay_lock(out_dir: str) -> str:
                     f"another replay holds {path}; concurrent writers would "
                     "corrupt the lake (remove the lock only if that process "
                     "is gone)")
-            try:  # stale: claim by removing, then re-race the O_EXCL create
-                os.remove(path)
+            claim = f"{path}.stale.{os.getpid()}"
+            try:  # atomic claim: only ONE racer's rename of the stale file wins
+                os.rename(path, claim)
+                os.remove(claim)
             except OSError:
-                pass
+                pass  # lost the claim race — loop and re-evaluate
             continue
         with os.fdopen(fd, "w") as f:
             f.write(str(os.getpid()))

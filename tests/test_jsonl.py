@@ -22,6 +22,26 @@ def test_jsonl_roundtrip_matches_parquet_source(tiny_corpus, tmp_path):
         assert via_jsonl[col].tolist() == via_parquet[col].tolist(), col
 
 
+def test_jsonl_delete_only_shard_reads(tmp_path):
+    """A delete-only feed has all-null html/lang/content_len; the JSON reader
+    infers those as Arrow `null` and the decode stage must cast them to the
+    declared types instead of crashing conform."""
+    import json
+
+    dest = tmp_path / "wire3"
+    dest.mkdir()
+    with open(dest / "events.json", "w") as f:
+        for seq in (1, 2):
+            f.write(json.dumps({
+                "seq": seq, "op": "delete", "url": f"https://x/{seq}",
+                "warc_ts": "2024-03-01T00:00:01", "html": None, "lang": None,
+                "content_len": None, "fetch_status": None}) + "\n")
+    out = read_events_jsonl([str(dest)]).to_pandas()
+    assert len(out) == 2
+    assert out.op.tolist() == ["delete", "delete"]
+    assert out.html.isna().all() and out.lang.isna().all()
+
+
 def test_jsonl_reader_conforms_schema(tiny_corpus, tmp_path):
     from ethereum_etl_ray.schemas import EVENTS_SCHEMA_V2
 
