@@ -200,6 +200,16 @@ def bucketed_asof(
             r_pad = {c: [None] * len(l) for c in r_cols}
             return l.assign(**r_pad)
         r = rt.to_pandas().sort_values(right_ts, kind="stable")
+        # Ray's shuffle converts the union's null-padded int columns to
+        # float64 — restore declared-integer dtypes so the by-keys match
+        # exactly (see cogroup_join)
+        declared = dict(unified)
+        for df_ in (l, r):
+            for name in df_.columns:
+                typ = declared.get(name)
+                if typ is not None and pa.types.is_integer(typ) \
+                        and df_[name].dtype.kind in "iuf":
+                    df_[name] = df_[name].astype("Int64")
         # merge_asof requires identical datetime resolutions (date32 parquet
         # columns land as datetime64[s], timestamps as [us])
         if pd.api.types.is_datetime64_any_dtype(l[left_ts]):
