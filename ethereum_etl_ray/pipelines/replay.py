@@ -270,7 +270,9 @@ def _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
                                             prior, cfg, metrics, t_start)
 
         if cfg.skew_detect:
-            ds = _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, target_wm)
+            # seq_le (None when the window covers the whole log), not the
+            # raw watermark — the probe must see the same filtered range
+            ds = _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, seq_le)
 
     ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
                         zero_copy_batch=True)
