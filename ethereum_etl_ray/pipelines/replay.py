@@ -163,8 +163,23 @@ def replay(
 
     t_start = _time.perf_counter()
     cfg = config or EngineConfig()
-    prior = load_manifest(out_dir)
     target_wm = corpus.watermark if watermark is None else watermark
+
+    from ethereum_etl_ray.state.manifest import acquire_replay_lock, release_replay_lock
+
+    # the manifest snapshot (and the resume/no-op decisions derived from it)
+    # must be taken UNDER the replay lock: a concurrent retention/compaction
+    # committing between a pre-lock load and the merge would leave this run
+    # merging against files the other writer already rewrote and GC'd
+    lock = acquire_replay_lock(out_dir)
+    try:
+        return _replay_with_lock(corpus, out_dir, cfg, target_wm, t_start)
+    finally:
+        release_replay_lock(lock)
+
+
+def _replay_with_lock(corpus, out_dir, cfg, target_wm, t_start) -> ReplayResult:
+    prior = load_manifest(out_dir)
     if prior is not None and prior.watermark >= target_wm:
         return ReplayResult(out_dir, prior, 0, len(prior.partitions))
     if prior is not None:
@@ -185,15 +200,8 @@ def replay(
     metrics: dict = {"route": "late" if cfg.late_materialization
                      else f"single_{cfg.shuffle}",
                      "resumed_from": seq_gt_val if (seq_gt_val := (prior.watermark if prior else None)) is not None else -1}
-
-    from ethereum_etl_ray.state.manifest import acquire_replay_lock, release_replay_lock
-
-    lock = acquire_replay_lock(out_dir)
-    try:
-        return _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
-                              t_start)
-    finally:
-        release_replay_lock(lock)
+    return _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
+                          t_start)
 
 
 def _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,

@@ -214,11 +214,14 @@ def compact_lake(out_dir: str, row_group_rows: int = 65536) -> dict:
         release_replay_lock,
     )
 
-    manifest = load_manifest(out_dir)
-    if manifest is None:
-        raise FileNotFoundError(f"no committed manifest in {out_dir}")
     lock = acquire_replay_lock(out_dir)  # writer-exclusive with replay/GC
     try:
+        # manifest snapshot taken UNDER the lock — loading it before acquire
+        # would let a concurrent writer commit in between, and the rewrite
+        # below would then clobber that writer's partitions with stale ones
+        manifest = load_manifest(out_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed manifest in {out_dir}")
         return _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted)
     finally:
         release_replay_lock(lock)
@@ -272,11 +275,13 @@ def apply_retention(out_dir: str, keep_ratio: float = 0.9) -> dict:
     replay lock for the rewrite+commit (writer-exclusive with replay/GC)."""
     from ethereum_etl_ray.state.manifest import acquire_replay_lock, release_replay_lock
 
-    manifest = load_manifest(out_dir)
-    if manifest is None:
-        raise FileNotFoundError(f"no committed manifest in {out_dir}")
     lock = acquire_replay_lock(out_dir)
     try:
+        # snapshot under the lock (see compact_lake) — a pre-lock load could
+        # be stale by the time the lock is held
+        manifest = load_manifest(out_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed manifest in {out_dir}")
         return _apply_retention_locked(out_dir, manifest, keep_ratio)
     finally:
         release_replay_lock(lock)

@@ -47,7 +47,14 @@ def lex_lt(t: pa.Table, cols: list[str], bound: tuple, *, strict: bool):
 
 def kth_smallest(ds: ray.data.Dataset, cols: list[str], k: int,
                  sample_per_batch: int = 1024) -> tuple:
-    """Exact k-th smallest (1-indexed) tuple of ``cols`` in ``ds``."""
+    """Exact k-th smallest (1-indexed) tuple of ``cols`` in ``ds``.
+
+    ``cols`` must be null-free (raises otherwise): Arrow's ``sort_by`` ranks
+    null rows last while the round-2 ``lex_lt`` comparisons yield null for
+    them, so nulls would be counted in local ranks but excluded from the
+    below-count/window — a k near the top would then miss its window or
+    shift the cutoff. Ties across rows also shift counts: include a unique
+    tie-break column for an exact boundary (see module docstring)."""
     if k < 1:
         raise ValueError("k is 1-indexed and must be >= 1")
     sub = ds.select_columns(cols)
@@ -56,6 +63,13 @@ def kth_smallest(ds: ray.data.Dataset, cols: list[str], k: int,
     def summarize(t: pa.Table) -> pa.Table:
         import uuid
 
+        for c in cols:
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"kth_smallest: column {c!r} contains nulls — ranking "
+                    "with nulls is ill-defined (local ranks would count "
+                    "them, lex_lt comparisons would not); filter them out "
+                    "or choose null-free sort columns")
         n = t.num_rows
         if n == 0:
             s = t.slice(0, 0)

@@ -59,7 +59,9 @@ def make_publisher(queue_dir: str, max_records_per_message: int = 4096):
 
     def publish(batch: pa.Table) -> pa.Table:
         mids, counts = [], []
-        for off in range(0, max(1, batch.num_rows), max_records_per_message):
+        # a zero-row batch publishes nothing (no junk empty message and no
+        # inflated message count) — just an empty summary
+        for off in range(0, batch.num_rows, max_records_per_message):
             piece = batch.slice(off, max_records_per_message)
             mids.append(_write_message(queue_dir, _serialize(piece)))
             counts.append(piece.num_rows)

@@ -92,17 +92,27 @@ def atomic_write_table(table, final_path: str) -> None:
 REPLAY_LOCK = ".replay.lock"
 
 
-def _lock_holder_alive(path: str) -> bool:
-    """True when the lock's recorded pid is a live *other* process. Our own
-    pid or a dead pid marks the lock stale (crashed run) and claimable.
-    EPERM from the probe signal means the process EXISTS (owned by another
-    user) — that is a live holder, not a stale lock."""
+def _lock_holder_pid(path: str) -> int:
+    """The pid recorded in the lock file, or -1 if unreadable/garbage."""
     try:
-        pid = int(open(path).read().strip() or -1)
+        return int(open(path).read().strip() or -1)
     except (OSError, ValueError):
+        return -1
+
+
+def _lock_holder_alive(path: str) -> bool:
+    """True when the lock's recorded pid is a live process — including our
+    OWN pid: a second acquire from the process that already holds the lock
+    must NOT treat it as stale (stealing it would end mutual exclusion
+    against third processes the moment either holder releases). Only a dead
+    pid marks the lock stale (crashed run) and claimable. EPERM from the
+    probe signal means the process EXISTS (owned by another user) — that is
+    a live holder, not a stale lock."""
+    pid = _lock_holder_pid(path)
+    if pid <= 0:
         return False
-    if pid <= 0 or pid == os.getpid():
-        return False
+    if pid == os.getpid():
+        return True
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
@@ -129,6 +139,13 @@ def acquire_replay_lock(out_dir: str) -> str:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
+            if _lock_holder_pid(path) == os.getpid():
+                # non-reentrant by design: a same-process re-acquire (e.g. a
+                # retention thread while replay holds the lock) must fail
+                # loudly, not silently steal the lock
+                raise RuntimeError(
+                    f"this process already holds {path}; the replay lock is "
+                    "not reentrant — finish the other operation first")
             if _lock_holder_alive(path):
                 raise RuntimeError(
                     f"another replay holds {path}; concurrent writers would "
@@ -167,7 +184,10 @@ def gc_uncommitted(out_dir: str) -> list[str]:
     pointing at deleted files.
     """
     lock = os.path.join(out_dir, REPLAY_LOCK)
-    if os.path.exists(lock) and _lock_holder_alive(lock):
+    if os.path.exists(lock) and _lock_holder_alive(lock) \
+            and _lock_holder_pid(lock) != os.getpid():
+        # a FOREIGN live holder blocks GC; our own pid holding the lock is
+        # the compact/retention flow GC-ing under its own writer lock
         raise RuntimeError(f"replay in progress ({lock}); refusing to GC")
     m = load_manifest(out_dir)
     keep = {os.path.abspath(p) for p in (m.files(out_dir) if m else [])}

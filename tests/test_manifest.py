@@ -84,3 +84,16 @@ def test_replay_lock_stale_pid_is_claimable(tmp_path):
         acquire_replay_lock(out)
     release_replay_lock(path)
     assert not os.path.exists(path)
+
+
+def test_replay_lock_not_reentrant_same_pid(tmp_path):
+    """A same-process re-acquire must raise, not silently steal the lock
+    (stealing would end mutual exclusion against third processes the moment
+    either holder releases)."""
+    out = str(tmp_path)
+    path = acquire_replay_lock(out)
+    with pytest.raises(RuntimeError, match="not reentrant"):
+        acquire_replay_lock(out)
+    # the original holder's lock survives the failed re-acquire intact
+    assert open(path).read() == str(os.getpid())
+    release_replay_lock(path)

@@ -48,3 +48,12 @@ def test_kth_out_of_range(data):
         kth_smallest(ds, ["a", "b"], 0)
     with pytest.raises(ValueError):
         kth_smallest(ds, ["a", "b"], len(data) + 1)
+
+
+def test_kth_rejects_null_sort_columns():
+    """Nulls rank last in sort_by but vanish from lex_lt counts — the two
+    passes would disagree, so null sort columns must be rejected early."""
+    df = pd.DataFrame({"a": [1.0, None, 3.0, 4.0], "b": [0, 1, 2, 3]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(Exception, match="contains nulls"):
+        kth_smallest(ds, ["a", "b"], 1)

@@ -54,3 +54,14 @@ def test_queue_sink_registered(tmp_path):
     assert "queue" in SINKS
     stats = SINKS["queue"](_ds(10), q)
     assert stats["records"] == 10 and len(read_queue(q)) == 10
+
+
+def test_zero_row_batch_publishes_nothing(tmp_path):
+    """An empty batch must not publish a junk empty message or inflate the
+    message count."""
+    q = str(tmp_path / "queue")
+    empty = pa.table({"seq": pa.array([], pa.int64())})
+    summary = make_publisher(q)(empty)
+    assert summary.num_rows == 0
+    assert read_queue(q) == []
+    assert not os.path.isdir(q) or os.listdir(q) == []
