@@ -98,37 +98,98 @@ class CountMinSketch:
         return cls(depth, width, t)
 
 
+def _batch_sketch_stage(key: str, depth: int, width: int, candidate_cap: int):
+    """map_batches stage: one (sketch, candidates) row per batch.
+    Arrow-native candidate counting (``pc.value_counts``)."""
+    import pyarrow.compute as pc
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch(depth, width)
+        arr = batch.column(key).to_pandas().to_numpy()
+        cms.add_many(arr)
+        vc = pc.value_counts(pc.drop_null(batch.column(key).combine_chunks()))
+        counts = vc.field("counts").to_numpy()
+        vals = vc.field("values").to_numpy(zero_copy_only=False)
+        if len(vals) > candidate_cap:
+            top = np.argpartition(counts, -candidate_cap)[-candidate_cap:]
+            vals = vals[top]
+        return pa.table({
+            "sketch": pa.array([cms.serialize()], pa.binary()),
+            "cands": pa.array([[str(v) for v in vals]], pa.list_(pa.string())),
+        })
+
+    return batch_sketch
+
+
+def _make_sketch_merger(depth: int, width: int, candidate_cap: int):
+    """Collapse a batch of (sketch, candidates) rows into ONE row: in-place
+    counter sum (associative — the final table is identical for any tree
+    shape) plus a candidate union capped at ``candidate_cap`` by the merged
+    subtree's own estimates (a global heavy hitter dominates every subtree
+    it appears in, so capping per level cannot evict it)."""
+
+    def merge_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        acc = np.zeros((depth, width), dtype=np.int64)
+        cands: set[str] = set()
+        sk_col, cd_col = t.column("sketch"), t.column("cands")
+        for i in range(t.num_rows):
+            acc += np.frombuffer(sk_col[i].as_py(), dtype=np.int64).reshape(depth, width)
+            cands.update(cd_col[i].as_py())
+        merged = CountMinSketch(depth, width, acc)
+        cand_list = sorted(cands)
+        if len(cand_list) > candidate_cap:
+            est = merged.query(cand_list)
+            top = np.argpartition(est, -candidate_cap)[-candidate_cap:]
+            cand_list = [cand_list[i] for i in sorted(top)]
+        return pa.table({
+            "sketch": pa.array([merged.serialize()], pa.binary()),
+            "cands": pa.array([cand_list], pa.list_(pa.string())),
+        })
+
+    return merge_rows
+
+
+def tree_merge_sketches(sk: ray.data.Dataset, *, depth: int, width: int,
+                        candidate_cap: int, fan_in: int = 32) -> ray.data.Dataset:
+    """Associative tree reduction of per-batch sketch rows INSIDE the
+    cluster: block-local merge → ``fan_in``-way merge → final merge. The
+    driver's eventual ``take_all`` sees exactly ONE ~``depth×width×8``-byte
+    row, independent of how many batches were sketched (the old
+    implementation shipped every per-batch sketch to the driver — gigabytes
+    at 10^10 events — and merged them in a serial loop)."""
+    merge = _make_sketch_merger(depth, width, candidate_cap)
+    # level 1: one row per block (batch_size=None = whole block per call)
+    sk = sk.map_batches(merge, batch_size=None, batch_format="pyarrow")
+    # level 2: bounded fan-in, then the root
+    sk = sk.repartition(fan_in).map_batches(merge, batch_size=None,
+                                            batch_format="pyarrow")
+    return sk.repartition(1).map_batches(merge, batch_size=None,
+                                         batch_format="pyarrow")
+
+
 def sketch_heavy_hitters(ds: ray.data.Dataset, key: str, *, sample_fraction: float = 0.05,
                          depth: int = 4, width: int = 4096, seed: int = 7,
                          candidate_cap: int = 4096) -> pd.DataFrame:
     """Approximate heavy hitters: sample → per-batch (sketch, candidate keys)
-    → associative merge. Returns candidates with estimated counts, descending.
+    → distributed associative tree merge. Returns candidates with estimated
+    counts, descending.
 
     Scale path: the per-batch output is O(width) regardless of key
-    cardinality, so this works at 10^10 events where exact counting cannot.
+    cardinality, and the tree merge hands the driver ONE sketch row — this
+    works at 10^10 events where exact counting cannot.
     """
     sampled = ds.random_sample(sample_fraction, seed=seed) if sample_fraction < 1.0 else ds
-
-    def batch_sketch(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key)
-        cms = CountMinSketch(depth, width)
-        arr = keys.to_pandas().to_numpy()
-        cms.add_many(arr)
-        vc = pd.Series(arr).value_counts().head(candidate_cap)
-        return pa.table({
-            "sketch": pa.array([cms.serialize()], pa.binary()),
-            "cands": pa.array([list(map(str, vc.index))], pa.list_(pa.string())),
-        })
-
-    parts = sampled.map_batches(batch_sketch, batch_format="pyarrow").take_all()
+    sk = sampled.map_batches(_batch_sketch_stage(key, depth, width, candidate_cap),
+                             batch_format="pyarrow")
+    parts = tree_merge_sketches(sk, depth=depth, width=width,
+                                candidate_cap=candidate_cap).take_all()
     if not parts:
         return pd.DataFrame({key: [], "est_n": []})
-    merged = CountMinSketch(depth, width)
-    cands: set[str] = set()
-    for row in parts:
-        merged = merged.merge(CountMinSketch.deserialize(bytes(row["sketch"]), depth, width))
-        cands.update(row["cands"])
-    cand_list = sorted(cands)
+    assert len(parts) == 1, f"tree merge must yield one root row, got {len(parts)}"
+    merged = CountMinSketch.deserialize(bytes(parts[0]["sketch"]), depth, width)
+    cand_list = sorted(parts[0]["cands"])
     est = merged.query(cand_list)
     df = pd.DataFrame({key: cand_list, "est_n": est})
     return df.sort_values(["est_n", key], ascending=[False, True]).reset_index(drop=True)

@@ -74,3 +74,51 @@ def test_heavy_hitters_exclude_null_keys():
     df = heavy_hitters(ds, "k", top_k=3)
     assert df["k"].tolist() == ["a", "b"]
     assert df["n"].tolist() == [2, 1]
+
+
+def test_tree_merge_collapses_to_one_driver_row():
+    """The distributed tree merge must hand the driver exactly ONE sketch
+    row regardless of batch count, and its estimates must equal a flat
+    driver-side merge of the same per-batch sketches (associativity)."""
+    import numpy as np
+
+    from ethereum_etl_ray.stages.sketch import (
+        CountMinSketch,
+        _batch_sketch_stage,
+        tree_merge_sketches,
+    )
+
+    depth, width, cap = 4, 512, 64
+    rng = np.random.default_rng(3)
+    keys = [f"k{int(v)}" for v in rng.zipf(1.5, size=20_000)]
+    ds = ray.data.from_items([{"url": k} for k in keys]).map_batches(
+        lambda t: t, batch_size=500, batch_format="pyarrow")
+    sk = ds.map_batches(_batch_sketch_stage("url", depth, width, cap),
+                        batch_format="pyarrow")
+    flat_rows = sk.take_all()
+    assert len(flat_rows) > 10  # genuinely many per-batch sketches
+    flat = CountMinSketch(depth, width)
+    for r in flat_rows:
+        flat = flat.merge(CountMinSketch.deserialize(bytes(r["sketch"]), depth, width))
+
+    root = tree_merge_sketches(sk, depth=depth, width=width,
+                               candidate_cap=cap).take_all()
+    assert len(root) == 1  # O(1) driver-side collection
+    merged = CountMinSketch.deserialize(bytes(root[0]["sketch"]), depth, width)
+    assert np.array_equal(merged.table, flat.table)
+    # the hot keys survive candidate capping through the tree
+    cands = set(root[0]["cands"])
+    truth = pd.Series(keys).value_counts()
+    assert set(truth.head(10).index) <= cands
+    assert len(cands) <= cap
+
+
+def test_sketch_heavy_hitters_end_to_end_still_ranks_hot_key():
+    ds = ray.data.from_items(
+        [{"url": "hot"} for _ in range(500)]
+        + [{"url": f"cold{i}"} for i in range(200)]).map_batches(
+        lambda t: t, batch_size=64, batch_format="pyarrow")
+    df = sketch_heavy_hitters(ds, "url", sample_fraction=1.0, width=1024,
+                              candidate_cap=32)
+    assert df.iloc[0].url == "hot"
+    assert df.iloc[0].est_n >= 500  # CMS overestimates only
