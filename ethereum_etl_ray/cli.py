@@ -87,12 +87,17 @@ def cmd_inspect(args):
         sys.exit(1)
     lake = load_lake(args.out)
     total = sum(e.rows for e in m.partitions.values())
+    from ethereum_etl_ray.state.manifest import list_generations
+
     print(json.dumps({
         "watermark": m.watermark,
         "schema_version": m.schema_version,
         "merge_mode": m.merge_mode,
         "partitions": len(m.partitions),
         "rows": total,
+        "generation": m.generation,
+        "generations": [{"generation": g, "watermark": wm}
+                        for g, wm in list_generations(args.out)],
         "metrics": m.metrics,
         "schema": {f: str(lake.schema().base_schema.field(f).type)
                    for f in lake.schema().names},
@@ -115,6 +120,19 @@ def cmd_compact(args):
 
     removed = gc_uncommitted(args.out)
     print(json.dumps({"removed": len(removed)}))
+
+
+def cmd_restore(args):
+    """Flip the live manifest back to a retained generation, by --watermark
+    or exact --generation (reference X5 restore,
+    src/repositories/sqlite/base.py:81-136)."""
+    from ethereum_etl_ray.state.manifest import restore_generation
+
+    m = restore_generation(args.out, watermark=args.watermark,
+                           generation=args.generation)
+    print(json.dumps({"out": args.out, "watermark": m.watermark,
+                      "generation": m.generation,
+                      "partitions": len(m.partitions)}))
 
 
 def cmd_retention(args):
@@ -179,6 +197,12 @@ def main(argv=None):
                             help="rewrite live partition files with uniform row groups")
             sp.add_argument("--row-group-rows", type=int, default=65536)
         sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("restore", help="restore the lake to a retained manifest generation")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--watermark", type=int, default=None)
+    sp.add_argument("--generation", type=int, default=None)
+    sp.set_defaults(fn=cmd_restore)
 
     sp = sub.add_parser("retention", help="evict oldest rows (reference A8 free_space)")
     sp.add_argument("--out", required=True)

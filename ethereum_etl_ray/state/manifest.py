@@ -46,6 +46,11 @@ class Manifest:
     # run metrics of the replay that produced this watermark (north_rule:
     # "per-partition lineage + metrics"): phase durations, row counts, route
     metrics: dict = field(default_factory=dict)
+    # monotone commit counter — every commit (replay, retention, compaction,
+    # restore) is a new generation; the last KEEP_GENERATIONS are retained
+    # on disk as manifest-g*.json and restorable (reference backup/restore,
+    # src/repositories/sqlite/base.py:81-136)
+    generation: int = 0
 
     def entry(self, part: int) -> PartitionEntry | None:
         return self.partitions.get(str(part))
@@ -55,10 +60,11 @@ class Manifest:
 
 
 MANIFEST_NAME = "_manifest.json"
+GENERATION_GLOB = "manifest-g*.json"
+KEEP_GENERATIONS = 5
 
 
-def load_manifest(out_dir: str) -> Manifest | None:
-    path = os.path.join(out_dir, MANIFEST_NAME)
+def _load_manifest_file(path: str) -> Manifest | None:
     if not os.path.exists(path):
         return None
     raw = json.load(open(path))
@@ -66,17 +72,90 @@ def load_manifest(out_dir: str) -> Manifest | None:
     return Manifest(partitions=parts, **raw)
 
 
-def commit_manifest(out_dir: str, manifest: Manifest) -> None:
-    """Atomic all-or-nothing commit (tmp file + rename)."""
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, MANIFEST_NAME)
+def load_manifest(out_dir: str) -> Manifest | None:
+    return _load_manifest_file(os.path.join(out_dir, MANIFEST_NAME))
+
+
+def _gen_path(out_dir: str, generation: int) -> str:
+    return os.path.join(out_dir, f"manifest-g{generation:08d}.json")
+
+
+def list_generations(out_dir: str) -> list[tuple[int, int]]:
+    """Retained (generation, watermark) pairs, ascending by generation."""
+    import glob as _glob
+
+    out = []
+    for p in sorted(_glob.glob(os.path.join(out_dir, GENERATION_GLOB))):
+        m = _load_manifest_file(p)
+        if m is not None:
+            out.append((m.generation, m.watermark))
+    return out
+
+
+def _atomic_json(path: str, payload: dict) -> None:
     tmp = path + ".tmp"
-    payload = asdict(manifest)
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def commit_manifest(out_dir: str, manifest: Manifest,
+                    keep_generations: int = KEEP_GENERATIONS) -> None:
+    """Atomic all-or-nothing commit (tmp file + rename) with generation
+    history: every commit also lands as ``manifest-g<N>.json`` (the last
+    ``keep_generations`` are retained and restorable via
+    ``restore_generation``; their partition files are protected from GC).
+    The generation file is written BEFORE the live pointer flips — a crash
+    in between leaves the live manifest untouched and only an orphan
+    generation file, which the next commit's numbering overwrites."""
+    os.makedirs(out_dir, exist_ok=True)
+    live = load_manifest(out_dir)
+    manifest.generation = (live.generation if live else 0) + 1
+    payload = asdict(manifest)
+    _atomic_json(_gen_path(out_dir, manifest.generation), payload)
+    _atomic_json(os.path.join(out_dir, MANIFEST_NAME), payload)
+    retained = list_generations(out_dir)
+    for gen, _wm in retained[:max(0, len(retained) - keep_generations)]:
+        try:
+            os.remove(_gen_path(out_dir, gen))
+        except OSError:
+            pass
+
+
+def restore_generation(out_dir: str, watermark: int | None = None,
+                       generation: int | None = None) -> Manifest:
+    """Flip the live manifest back to a retained generation — addressed by
+    ``watermark`` (the newest generation at it, if several commits share it
+    — e.g. a replay then a compaction) or by exact ``generation`` (needed to
+    reach e.g. the pre-retention state, which shares its watermark with the
+    post-retention commit). The restore itself commits as a NEW generation,
+    so history stays linear and the pre-restore state remains restorable
+    too. Holds the replay lock (writer-exclusive with replay/retention/GC)."""
+    if (watermark is None) == (generation is None):
+        raise ValueError("pass exactly one of watermark= or generation=")
+    lock = acquire_replay_lock(out_dir)
+    try:
+        if generation is not None:
+            cand = [g for g, _wm in list_generations(out_dir) if g == generation]
+        else:
+            cand = [g for g, wm in list_generations(out_dir) if wm == watermark]
+        if not cand:
+            raise FileNotFoundError(
+                f"no retained generation at "
+                f"{'watermark ' + str(watermark) if generation is None else 'generation ' + str(generation)} "
+                f"in {out_dir} (retained: {list_generations(out_dir)})")
+        m = _load_manifest_file(_gen_path(out_dir, max(cand)))
+        missing = [p for p in m.files(out_dir) if not os.path.exists(p)]
+        if missing:
+            raise RuntimeError(
+                f"generation {max(cand)} references {len(missing)} missing "
+                f"partition files (e.g. {missing[0]}) — cannot restore")
+        commit_manifest(out_dir, m)
+        return m
+    finally:
+        release_replay_lock(lock)
 
 
 def atomic_write_table(table, final_path: str) -> None:
@@ -189,8 +268,17 @@ def gc_uncommitted(out_dir: str) -> list[str]:
         # a FOREIGN live holder blocks GC; our own pid holding the lock is
         # the compact/retention flow GC-ing under its own writer lock
         raise RuntimeError(f"replay in progress ({lock}); refusing to GC")
-    m = load_manifest(out_dir)
-    keep = {os.path.abspath(p) for p in (m.files(out_dir) if m else [])}
+    import glob as _glob
+
+    # protect every retained generation's files, not just the live set —
+    # otherwise GC after a new commit would break restore_generation
+    keep = set()
+    manifests = [load_manifest(out_dir)] + [
+        _load_manifest_file(p)
+        for p in _glob.glob(os.path.join(out_dir, GENERATION_GLOB))]
+    for m in manifests:
+        if m is not None:
+            keep.update(os.path.abspath(p) for p in m.files(out_dir))
     removed = []
     for dirpath, _dirs, names in os.walk(out_dir):
         for n in names:

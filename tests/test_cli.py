@@ -70,13 +70,24 @@ def test_cli_export_csv_roundtrip(capsys, cli_lake, tmp_path):
     assert set(df.url) == set(lake.url)
 
 
-def test_cli_retention_then_compact(capsys, cli_lake):
+def test_cli_retention_then_compact_and_restore(capsys, cli_lake):
     n = load_lake(cli_lake).count()
+    pre_wm = _run(capsys, ["inspect", "--out", cli_lake])["watermark"]
     got = _run(capsys, ["retention", "--out", cli_lake, "--keep-ratio", "0.9"])
     assert got["evicted"] == int(n * 0.1)
+    # pre-retention files are a retained generation now (X5 backups) — bare
+    # GC must NOT remove them, and `restore` must resurrect the evicted rows
     got = _run(capsys, ["compact", "--out", cli_lake])
-    assert got["removed"] > 0  # pre-retention partition files GC'd
+    assert got["removed"] == 0
     assert load_lake(cli_lake).count() == n - int(n * 0.1)
+    gens = _run(capsys, ["inspect", "--out", cli_lake])["generations"]
+    assert sum(1 for g in gens if g["watermark"] == pre_wm) >= 2
+    # restore by watermark picks the NEWEST matching generation (the
+    # post-retention state, same wm) — the pre-retention backup needs the
+    # exact generation address
+    pre_gen = min(g["generation"] for g in gens)
+    _run(capsys, ["restore", "--out", cli_lake, "--generation", str(pre_gen)])
+    assert load_lake(cli_lake).count() == n  # evicted rows resurrected
 
 
 def test_cli_compact_rewrite_uniform_row_groups(capsys, cli_lake):

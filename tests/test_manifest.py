@@ -97,3 +97,77 @@ def test_replay_lock_not_reentrant_same_pid(tmp_path):
     # the original holder's lock survives the failed re-acquire intact
     assert open(path).read() == str(os.getpid())
     release_replay_lock(path)
+
+
+def _commit_with_file(out, wm, name):
+    t = pa.table({"a": [wm]})
+    atomic_write_table(t, os.path.join(out, "part=00000", name))
+    m = Manifest(watermark=wm, partitions={
+        "0": PartitionEntry(f"part=00000/{name}", 1, str(wm), wm)})
+    commit_manifest(out, m)
+    return m
+
+
+def test_generation_history_retained_and_pruned(tmp_path):
+    from ethereum_etl_ray.state.manifest import KEEP_GENERATIONS, list_generations
+
+    out = str(tmp_path)
+    for i in range(KEEP_GENERATIONS + 3):
+        commit_manifest(out, Manifest(watermark=i))
+    gens = list_generations(out)
+    assert len(gens) == KEEP_GENERATIONS
+    assert [wm for _, wm in gens] == list(range(3, KEEP_GENERATIONS + 3))
+    assert load_manifest(out).generation == KEEP_GENERATIONS + 3
+
+
+def test_restore_flips_live_pointer_and_keeps_history(tmp_path):
+    from ethereum_etl_ray.state.manifest import list_generations, restore_generation
+
+    out = str(tmp_path)
+    _commit_with_file(out, 10, "data-10.parquet")
+    _commit_with_file(out, 20, "data-20.parquet")
+    m = restore_generation(out, 10)
+    assert m.watermark == 10
+    live = load_manifest(out)
+    assert live.watermark == 10
+    # the restore is itself a new generation — history stays linear and the
+    # pre-restore state (wm=20) remains restorable
+    assert live.generation == 3
+    assert [wm for _, wm in list_generations(out)] == [10, 20, 10]
+    m2 = restore_generation(out, 20)
+    assert m2.watermark == 20 and load_manifest(out).watermark == 20
+
+
+def test_restore_unknown_watermark_raises(tmp_path):
+    from ethereum_etl_ray.state.manifest import restore_generation
+
+    out = str(tmp_path)
+    _commit_with_file(out, 10, "data-10.parquet")
+    with pytest.raises(FileNotFoundError, match="no retained generation"):
+        restore_generation(out, 99)
+
+
+def test_restore_refuses_when_files_missing(tmp_path):
+    from ethereum_etl_ray.state.manifest import restore_generation
+
+    out = str(tmp_path)
+    _commit_with_file(out, 10, "data-10.parquet")
+    _commit_with_file(out, 20, "data-20.parquet")
+    os.remove(os.path.join(out, "part=00000", "data-10.parquet"))
+    with pytest.raises(RuntimeError, match="missing"):
+        restore_generation(out, 10)
+
+
+def test_gc_protects_retained_generation_files(tmp_path):
+    """Files referenced only by OLDER retained generations must survive GC —
+    deleting them would break restore_generation."""
+    out = str(tmp_path)
+    _commit_with_file(out, 10, "data-10.parquet")
+    _commit_with_file(out, 20, "data-20.parquet")
+    # a true orphan (never committed) for contrast
+    atomic_write_table(pa.table({"a": [1]}),
+                       os.path.join(out, "part=00000", "orphan.parquet"))
+    removed = gc_uncommitted(out)
+    assert [os.path.basename(p) for p in removed] == ["orphan.parquet"]
+    assert os.path.exists(os.path.join(out, "part=00000", "data-10.parquet"))
+    assert os.path.exists(os.path.join(out, "part=00000", "data-20.parquet"))

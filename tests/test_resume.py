@@ -105,8 +105,17 @@ def test_crash_before_commit_is_invisible(tiny_corpus, tmp_path_factory, oracle_
     manifest_path = os.path.join(out, "_manifest.json")
     saved = open(manifest_path).read()
 
-    # full run, then roll the manifest back → "crashed before commit"
+    # full run, then roll the manifest back → "crashed before commit".
+    # A real pre-commit crash writes neither the live pointer nor the
+    # generation snapshot, so drop the full run's generation file too
+    # (leaving it would make the files a retained — GC-protected — backup).
+    from ethereum_etl_ray.state.manifest import list_generations
+
+    gens_before = {g for g, _ in list_generations(out)}
     replay(tiny_corpus, out, cfg)
+    for g, _wm in list_generations(out):
+        if g not in gens_before:
+            os.remove(os.path.join(out, f"manifest-g{g:08d}.json"))
     with open(manifest_path, "w") as f:
         f.write(saved)
 
@@ -177,3 +186,41 @@ def test_ignore_mode_first_writer_wins_end_to_end(tiny_corpus, tmp_path_factory)
     oracle = sequential_replay(events, None, mode="ignore")
     got = _texts(out)
     assert got == {u: o["text"] for u, o in oracle.items()}
+
+
+def test_restore_generation_matches_oracle_at_watermark(tiny_corpus,
+                                                        tmp_path_factory,
+                                                        oracle_texts):
+    """Full X5 parity (reference src/repositories/sqlite/base.py:81-136):
+    after replaying past W, `restore --watermark W` must reproduce the lake
+    the sequential-replay oracle computes at W byte-identically, and a
+    subsequent forward replay must reconverge to the full-corpus state."""
+    import pyarrow.compute as pc
+
+    from ethereum_etl_ray.state.manifest import restore_generation
+    from ethereum_etl_ray.state.oracle import sequential_replay
+
+    cfg = EngineConfig(num_partitions=6)
+    out = str(tmp_path_factory.mktemp("restore"))
+    wm = tiny_corpus.watermark
+    mid = wm // 2
+    replay(tiny_corpus, out, cfg, watermark=mid)
+    replay(tiny_corpus, out, cfg)
+    assert load_manifest(out).watermark == wm
+    assert _texts(out) == oracle_texts  # sanity: full state first
+
+    restore_generation(out, mid)
+    assert load_manifest(out).watermark == mid
+    events_mid = [
+        t.filter(pc.less_equal(t.column("seq"), mid))
+        for d in tiny_corpus.event_dirs
+        for t in [pq.read_table(f) for f in sorted(glob.glob(d + "/*.parquet"))]
+    ]
+    snap = pq.read_table(glob.glob(tiny_corpus.snapshot_dir + "/*.parquet")[0])
+    oracle_mid = sequential_replay(events_mid, snap)
+    assert _texts(out) == {u: o["text"] for u, o in oracle_mid.items()}
+
+    # redo: resuming from the restored watermark reconverges exactly
+    replay(tiny_corpus, out, cfg)
+    assert load_manifest(out).watermark == wm
+    assert _texts(out) == oracle_texts

@@ -67,9 +67,22 @@ def test_retention_refuses_during_live_replay(lake):
     assert not os.path.exists(path)  # lock released
 
 
-def test_gc_removes_superseded_files(lake):
+def test_gc_removes_superseded_files_only_after_history_expires(lake):
+    """Pre-retention partition files are a RETAINED generation now (X5
+    backups) — bare GC must keep them; they become collectable only once
+    enough commits push their generation out of the retained window."""
+    from ethereum_etl_ray.state.manifest import (
+        KEEP_GENERATIONS,
+        commit_manifest,
+        load_manifest,
+    )
+
     apply_retention(lake, keep_ratio=0.5)
+    assert gc_uncommitted(lake) == []  # protected by generation history
+    assert load_lake(lake).count() > 0
+    # age the pre-retention generation out of the retained window
+    for _ in range(KEEP_GENERATIONS):
+        commit_manifest(lake, load_manifest(lake))
     removed = gc_uncommitted(lake)
-    assert removed  # the pre-retention partition files
-    # lake still readable and consistent after GC
+    assert removed  # the pre-retention partition files, finally collectable
     assert load_lake(lake).count() > 0
