@@ -592,6 +592,48 @@ def q_minhash_lsh_pairs(sf_dir: str):
     return minhash_lsh_dedup_pairs(ds, threshold=0.7)
 
 
+def q_connected_components(sf_dir: str):
+    """Distributed connected components (stages.components — the cluster
+    step of corpus dedup, generalizing the reference's distinct-as-dedup
+    src/tasks/extract/account.py:7-27 to transitive duplicate clusters).
+
+    Runs min-label propagation with pointer jumping over a deterministic
+    sparse graph derived from the documents table (chains of 8 docs with a
+    branch edge every 8) so DuckDB's recursive CTE can compute the exact
+    same closure as the oracle."""
+    from ethereum_etl_ray.stages.components import connected_components_ds
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        chain = ids[ids % 8 != 0]          # (i, i-1) within each group of 8
+        branch = ids[ids % 8 >= 3]         # (i, i-3) branch edge
+        return pa.table({
+            "doc_a": pa.array(np.concatenate([chain, branch]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([chain - 1, branch - 3]), pa.int64()),
+        })
+
+    pairs = docs.map_batches(mk_edges, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = connected_components_ds(pairs).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_near_dedup_keep(sf_dir: str):
+    """End-to-end corpus near-dedup: MinHash-LSH pairs (fully streaming) →
+    distributed connected components → keep the min-doc_id representative
+    per duplicate cluster (shuffle route: nothing driver-resident)."""
+    from ethereum_etl_ray.pipelines.dedup import minhash_lsh_dedup_pairs
+    from ethereum_etl_ray.stages.components import dedup_apply
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    pairs = minhash_lsh_dedup_pairs(docs, threshold=0.7, streaming=True)
+    kept = dedup_apply(docs, pairs, route="shuffle")
+    out = kept.select_columns(["doc_id", "n_chars"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str):
     from ethereum_etl_ray.pipelines.dedup import simhash_pairs
 
@@ -879,6 +921,8 @@ QUERIES = {
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "connected_components": q_connected_components,
+    "near_dedup_keep": q_near_dedup_keep,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1062,6 +1106,23 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c100
         FROM events GROUP BY user_id, hour_bucket
+    """,
+    "connected_components": """
+        WITH RECURSIVE e AS (
+          SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 8 <> 0
+          UNION ALL
+          SELECT doc_id, doc_id - 3 FROM documents WHERE doc_id % 8 >= 3
+        ), sym AS (
+          SELECT a, b FROM e UNION SELECT b, a FROM e
+        ), nodes AS (
+          SELECT DISTINCT a AS n FROM sym
+        ), reach(n, m) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+        )
+        SELECT n AS node, CAST(min(m) AS BIGINT) AS component
+        FROM reach GROUP BY n
     """,
     "exact_dedup_docs": """
         SELECT doc_id, lang, n_chars FROM (

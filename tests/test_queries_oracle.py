@@ -48,10 +48,11 @@ ORACLED = [
     "embedding_topk", "ann_ivf_topk", "multimodal_decode",
     "enrich_segment_spend", "graph_reach", "ann_ivf_persisted",
     "embedding_cosine_pairs", "deterministic_sample", "cap_per_key",
-    "multimodal_frames", "bpe_token_count",
+    "multimodal_frames", "bpe_token_count", "connected_components",
 ]
 
-ROWS_ONLY = ["winnow_fingerprint", "minhash_lsh_pairs", "simhash_pairs",
+ROWS_ONLY = ["winnow_fingerprint", "minhash_lsh_pairs", "near_dedup_keep",
+             "simhash_pairs",
              "ngram_jaccard_pairs", "cms_heavy_hitters", "random_sample",
              "cdc_replay_full", "cdc_replay_ignore", "cdc_resume_tail",
              "cdc_bulk_load", "schema_evolution_audit", "stream_publish"]
