@@ -297,13 +297,29 @@ def verify_jaccard_pairs_ds(ds: ray.data.Dataset, pairs_ds: ray.data.Dataset, *,
     return j.map_batches(_make_verifier(threshold, ngram), batch_format="pyarrow")
 
 
+# above this many docs the collected route's driver-resident candidate set
+# is no longer trustworthy (boilerplate clusters make it corpus-sized) — the
+# streaming route becomes the default (cf. cfg.winner_exact_threshold)
+STREAMING_DOC_THRESHOLD = 2_000_000
+
+
 def minhash_lsh_dedup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.7,
                             num_perm: int = 128, bands: int = 16, ngram: int = 3,
                             id_col: str = "doc_id", text_col: str = "text",
-                            streaming: bool = False):
+                            streaming: bool | None = None,
+                            streaming_threshold: int = STREAMING_DOC_THRESHOLD):
     """End-to-end near-dup pairs. ``streaming=True`` keeps the whole pipeline
     (banding → candidate dedupe → text join → verify) as Datasets — the
-    100 TB shape; default collects (small corpora / driver oracle)."""
+    100 TB shape; ``False`` collects (small corpora / driver oracle).
+
+    ``streaming=None`` (the default) auto-routes: corpora whose free
+    metadata row count (Parquet footers — no data read, no execution)
+    exceeds ``streaming_threshold`` take the streaming route; small or
+    unknown-size corpora take the collected route. Mirrors the replay
+    engine's ``winner_exact_threshold`` gate."""
+    if streaming is None:
+        est = ds._meta_count()  # None when metadata can't answer for free
+        streaming = est is not None and est > streaming_threshold
     if streaming:
         cands = minhash_candidate_pairs_ds(ds, id_col=id_col, text_col=text_col,
                                            num_perm=num_perm, bands=bands,

@@ -245,13 +245,35 @@ def embedding_cosine_pairs(ds: ray.data.Dataset, tau: float,
 def embedding_bucketed_pairs(ds: ray.data.Dataset, tau: float,
                              n_centroids: int = 8, id_col: str = "vec_id",
                              emb_col: str = "embedding",
-                             kmeans_iters: int = 2) -> pd.DataFrame:
+                             kmeans_iters: int = 2,
+                             assign_probes: int = 2) -> pd.DataFrame:
     """Scale path for embedding near-dup: candidates only WITHIN an IVF
     bucket (k-means blocked — near neighbors land in the same bucket with
-    high probability), pairwise cosine per group. Approximate: cross-bucket
-    pairs are missed; recall rises with fewer, larger buckets."""
+    high probability), pairwise cosine per group.
+
+    Multi-probe assignment: each vector lands in its ``assign_probes``
+    nearest buckets (default 2), so a pair straddling a bucket boundary —
+    the two members' primary centroids differ but they share a secondary —
+    is still co-bucketed and found; duplicate reports from shared buckets
+    are dropped downstream. Costs ``assign_probes``× shuffle volume.
+    Still approximate (pairs sharing NO probed bucket are missed);
+    ``assign_probes=1`` recovers the primary-bucket-only behavior."""
     cents = kmeans_centroids(ds, n_centroids, emb_col, iters=kmeans_iters)
-    bucketed = assign_ivf_buckets(ds, cents, emb_col)
+    cref = ray.put(_normalize(cents))
+    p = max(1, min(assign_probes, len(cents)))
+
+    def assign_multi(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_bucket", pa.array([], pa.int32()))
+        c = ray.get(cref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        sims = c @ m.T  # (C, n)
+        top = np.argpartition(-sims, p - 1, axis=0)[:p]  # (p, n), distinct
+        rep = batch.take(pa.array(np.tile(np.arange(batch.num_rows), p)))
+        return rep.append_column(
+            "ivf_bucket", pa.array(top.ravel().astype(np.int32), pa.int32()))
+
+    bucketed = ds.map_batches(assign_multi, batch_format="pyarrow")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()

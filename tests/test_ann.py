@@ -106,6 +106,38 @@ def test_embedding_cosine_pairs_exact_and_bucketed(clustered):
     assert set(zip(bucketed.vec_a, bucketed.vec_b)) == set(zip(a, b))
 
 
+def test_bucketed_pairs_multiprobe_recovers_boundary_pair():
+    """A near-dup pair straddling a k-means bucket boundary (each member's
+    primary centroid differs, secondary is shared) is missed by primary-only
+    assignment but found with the default 2-probe assignment."""
+    from ethereum_etl_ray.stages.ann import embedding_bucketed_pairs
+
+    rng = np.random.default_rng(29)
+    c1, c2, c3 = np.eye(3, 12) * 10.0
+    clusters = [c + rng.normal(scale=0.2, size=(50, 12)) for c in (c1, c2, c3)]
+    # two near-identical vectors midway between clusters 1 and 2, nudged to
+    # opposite sides so their PRIMARY buckets differ (2 probes = {b1, b2},
+    # a strict subset of the 3 buckets — not a probe-everything degenerate)
+    # nudge 0.5 units along each axis: primary cos gap ≈ 0.07 (robust to
+    # centroid perturbation from the straddlers' own membership) while the
+    # pair's mutual cosine stays ≈ 0.9955 ≥ tau
+    mid = (c1 + c2) / 2.0
+    straddle = np.stack([mid + 0.5 * c1 / 10.0, mid + 0.5 * c2 / 10.0])
+    mat = np.concatenate(clusters + [straddle]).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(152, dtype=np.int64),
+                       "embedding": list(mat)})
+    ds = ray.data.from_pandas(df)
+
+    kw = dict(tau=0.99, n_centroids=3, kmeans_iters=5)
+    primary_only = embedding_bucketed_pairs(ds, assign_probes=1, **kw)
+    multi = embedding_bucketed_pairs(ds, assign_probes=2, **kw)
+    assert (150, 151) not in set(zip(primary_only.vec_a, primary_only.vec_b))
+    assert (150, 151) in set(zip(multi.vec_a, multi.vec_b))
+    # multi-probe adds no false pairs (every report is exact-cosine verified)
+    assert set(zip(multi.vec_a, multi.vec_b)) >= set(
+        zip(primary_only.vec_a, primary_only.vec_b))
+
+
 def test_ivf_search_empty_probed_buckets_returns_empty(tmp_path):
     """k-means can leave empty clusters; probing only those must return an
     empty result, not crash on a zero-path read."""

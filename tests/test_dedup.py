@@ -119,10 +119,25 @@ def test_verify_pairs_is_distributed_and_exact(planted):
 def test_streaming_path_equals_collected_path(planted):
     """The all-Dataset pipeline (candidates never on the driver) must produce
     exactly the collected path's verified pairs."""
-    collected = minhash_lsh_dedup_pairs(planted, threshold=0.5)
+    collected = minhash_lsh_dedup_pairs(planted, threshold=0.5, streaming=False)
     streamed = (minhash_lsh_dedup_pairs(planted, threshold=0.5, streaming=True)
                 .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     assert streamed.equals(collected)
+
+
+def test_streaming_auto_route_by_metadata_count(planted):
+    """streaming=None routes by the free metadata row count: a corpus above
+    the threshold takes the streaming (Dataset) route, a small one collects
+    (DataFrame) — and both answer identically either way."""
+    import pandas as pd
+
+    small = minhash_lsh_dedup_pairs(planted, threshold=0.5)  # 5 docs ≪ default
+    assert isinstance(small, pd.DataFrame)
+    big = minhash_lsh_dedup_pairs(planted, threshold=0.5, streaming_threshold=2)
+    assert isinstance(big, ray.data.Dataset)
+    big_df = (big.to_pandas().sort_values(["doc_a", "doc_b"])
+              .reset_index(drop=True))
+    assert big_df.equals(small)
 
 
 def test_jaccard_edge_cases():
