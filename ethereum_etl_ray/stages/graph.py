@@ -13,17 +13,133 @@ against a DISTRIBUTED edge Dataset:
 
 The edge table never materializes on the driver and is the only large side;
 the frontier/visited state is bounded by ``|starts| × |reachable|`` — the
-same bound the reference's Memgraph session holds in graph memory. For
-unbounded frontiers, swap the broadcast for a hash-join per hop
-(``Dataset.join`` on ``src``); the loop structure is unchanged.
+same bound the reference's Memgraph session holds in graph memory.
+
+For frontiers too large to broadcast there is a JOIN-PER-HOP route
+(``graph_reach_ds`` / automatic escalation inside ``graph_reach`` when
+``len(frontier) > frontier_threshold``): the frontier and visited set stay
+Datasets; each hop is one distributed co-group join (frontier × edges on
+``src``) followed by one combined dedup + anti-visited shuffle keyed by
+``(start, node)``. Costs a full edge shuffle per hop — the price of an
+unbounded frontier; the broadcast route stays the default because the
+reference-shaped contract (≤5 hops from a small start set) never needs it.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
+
+
+def _state_table(df: pd.DataFrame, with_hops: bool) -> pa.Table:
+    cols = {"start": pa.array(df["start"].astype(str), pa.string()),
+            "node": pa.array(df["node"].astype(str), pa.string())}
+    if with_hops:
+        cols["hops"] = pa.array(df["hops"].to_numpy(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def _reach_rounds_ds(edges: ray.data.Dataset, visited: ray.data.Dataset,
+                     frontier: ray.data.Dataset, first_hop: int, max_hops: int,
+                     src_col: str, dst_col: str,
+                     num_partitions: int | None = None) -> ray.data.Dataset:
+    """The join-per-hop inner loop. ``visited`` is (start, node, hops),
+    ``frontier`` is (start, node); both stay Datasets throughout. Returns the
+    final visited Dataset."""
+    from ethereum_etl_ray.functions.hashing import partition_ids
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    if num_partitions is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        num_partitions = max(2, cpus)
+
+    def fr_side(t: pa.Table) -> pa.Table:
+        return pa.table({"__fstart": pc.cast(t.column("start"), pa.string()),
+                         "__fnode": pc.cast(t.column("node"), pa.string())})
+
+    edge_cols = (edges.map_batches(
+        lambda t: pa.table({"__esrc": pc.cast(t.column(src_col), pa.string()),
+                            "__edst": pc.cast(t.column(dst_col), pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize())
+
+    def key_of(start: np.ndarray, node: np.ndarray) -> np.ndarray:
+        return np.char.add(np.char.add(start.astype(str), "\x00"),
+                           node.astype(str)).astype(object)
+
+    def tag(side_flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            s = t.column("start").to_numpy(zero_copy_only=False)
+            n = t.column("node").to_numpy(zero_copy_only=False)
+            k = key_of(s, n)
+            return pa.table({
+                "start": pc.cast(t.column("start"), pa.string()),
+                "node": pc.cast(t.column("node"), pa.string()),
+                "__side": pa.array(np.full(t.num_rows, side_flag, np.int8),
+                                   pa.int8()),
+                "__part": pa.array(partition_ids(k, num_partitions), pa.int32()),
+            })
+        return fn
+
+    for hop in range(first_hop, max_hops + 1):
+        fr = frontier.map_batches(fr_side, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        expanded = cogroup_join(fr, edge_cols, left_on="__fnode",
+                                right_on="__esrc",
+                                num_partitions=num_partitions)
+        new_raw = expanded.map_batches(
+            lambda t: pa.table({"start": pc.cast(t.column("__fstart"), pa.string()),
+                                "node": pc.cast(t.column("__edst"), pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+        # one shuffle resolves BOTH (start,node) dedup and the anti-join
+        # against visited: candidates and visited keys co-partition by key
+        both = (new_raw.map_batches(tag(0), batch_format="pyarrow")
+                .union(visited.map_batches(tag(1), batch_format="pyarrow")))
+
+        def resolve(g: pa.Table, _hop=hop) -> pa.Table:
+            side = g.column("__side").to_numpy(zero_copy_only=False)
+            s = g.column("start").to_numpy(zero_copy_only=False)
+            n = g.column("node").to_numpy(zero_copy_only=False)
+            k = key_of(s, n)
+            cand, seen = ~side.astype(bool), side.astype(bool)
+            fresh = cand & ~np.isin(k, k[seen])
+            _, first_idx = np.unique(k[fresh], return_index=True)
+            pick = np.flatnonzero(fresh)[first_idx]
+            return pa.table({
+                "start": pa.array(s[pick].astype(str), pa.string()),
+                "node": pa.array(n[pick].astype(str), pa.string()),
+                "hops": pa.array(np.full(len(pick), _hop, np.int64), pa.int64()),
+            })
+
+        new = (both.groupby("__part").map_groups(resolve, batch_format="pyarrow")
+               .repartition(num_partitions).materialize())
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited
+
+
+def graph_reach_ds(edges: ray.data.Dataset, starts: list[str], max_hops: int,
+                   *, src_col: str = "src", dst_col: str = "dst",
+                   num_partitions: int | None = None) -> ray.data.Dataset:
+    """Fully distributed ``graph_reach``: join-per-hop from the first hop,
+    result stays a Dataset — the route for start sets / frontiers too large
+    to broadcast (consume with ``write_parquet`` or downstream stages)."""
+    starts = list(dict.fromkeys(starts))
+    seed = pa.table({"start": pa.array(starts, pa.string()),
+                     "node": pa.array(starts, pa.string()),
+                     "hops": pa.array(np.zeros(len(starts), np.int64), pa.int64())})
+    visited = ray.data.from_arrow(seed).materialize()
+    frontier = visited.map_batches(lambda t: t.select(["start", "node"]),
+                                   batch_format="pyarrow", zero_copy_batch=True)
+    return _reach_rounds_ds(edges, visited, frontier, 1, max_hops,
+                            src_col, dst_col, num_partitions)
 
 
 def graph_reach(
@@ -33,11 +149,17 @@ def graph_reach(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    frontier_threshold: int = 200_000,
 ) -> pd.DataFrame:
     """All nodes reachable from each start within ``max_hops`` directed hops.
 
     Returns ``(start, node, hops)`` with the MINIMAL hop count per
     (start, node) — hop 0 is the start itself. Deterministic.
+
+    Hops run via frontier broadcast while the frontier is small; a hop whose
+    frontier exceeds ``frontier_threshold`` rows escalates the REMAINING hops
+    to the distributed join-per-hop route (``_reach_rounds_ds``) — the
+    driver then only holds the final result, as it already does here.
     """
     from ethereum_etl_ray.stages.joins import semi_anti_filter
 
@@ -51,6 +173,14 @@ def graph_reach(
     for hop in range(1, max_hops + 1):
         nodes = frontier["node"].unique()
         if not len(nodes):
+            break
+        if len(frontier) > frontier_threshold:
+            final = _reach_rounds_ds(
+                edges,
+                ray.data.from_arrow(_state_table(visited, with_hops=True)),
+                ray.data.from_arrow(_state_table(frontier, with_hops=False)),
+                hop, max_hops, src_col, dst_col)
+            visited = final.to_pandas()
             break
         fref = ray.put(frontier)
 

@@ -34,3 +34,52 @@ def test_reach_multiple_starts_independent():
     got = {(r.start, r.node): r.hops for r in out.itertuples(index=False)}
     assert got[("a", "z")] == 2 and got[("b", "z")] == 2
     assert ("a", "y") not in got and ("b", "x") not in got
+
+
+def _as_dict(df):
+    return {(r.start, r.node): r.hops for r in df.itertuples(index=False)}
+
+
+def _random_edges(seed, n_nodes, n_edges):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n_nodes, size=n_edges)
+    d = rng.integers(0, n_nodes, size=n_edges)
+    return [(f"n{a}", f"n{b}") for a, b in zip(s, d) if a != b]
+
+
+def test_join_per_hop_route_matches_broadcast():
+    """graph_reach_ds (fully distributed frontier/visited) must equal the
+    broadcast route on a random multi-start graph, min-hops included."""
+    from ethereum_etl_ray.stages.graph import graph_reach_ds
+
+    pairs = _random_edges(41, 40, 120)
+    e = _edges(pairs)
+    starts = ["n0", "n7", "n13"]
+    bc = graph_reach(e, starts, max_hops=4)
+    ds = (graph_reach_ds(e, starts, max_hops=4).to_pandas()
+          .sort_values(["start", "hops", "node"], kind="stable")
+          .reset_index(drop=True))
+    assert _as_dict(ds) == _as_dict(bc)
+
+
+def test_large_frontier_escalates_mid_loop_and_matches():
+    """frontier_threshold=1 forces the broadcast loop to hand its mid-BFS
+    state to the join-per-hop route after hop 1; the answer must not change.
+    Also exercises cycles + a shortcut (min-hop correctness across routes)."""
+    pairs = _random_edges(43, 30, 90) + [("n0", "n1"), ("n1", "n0")]
+    e = _edges(pairs)
+    # single start: hop 1 runs broadcast (frontier=1 row ≤ threshold), the
+    # hop-1 result exceeds the threshold → hops 2+ run distributed
+    unlimited = graph_reach(e, ["n0"], max_hops=3)
+    escalated = graph_reach(e, ["n0"], max_hops=3, frontier_threshold=1)
+    assert _as_dict(escalated) == _as_dict(unlimited)
+
+
+def test_join_route_terminates_on_cycles():
+    from ethereum_etl_ray.stages.graph import graph_reach_ds
+
+    e = _edges([("a", "b"), ("b", "a")])
+    out = graph_reach_ds(e, ["a"], max_hops=5).to_pandas()
+    assert _as_dict(out) == {("a", "a"): 0, ("a", "b"): 1}
