@@ -33,8 +33,15 @@ def _headline(corpus) -> tuple[float, int]:
     from ethereum_etl_ray.config import EngineConfig
     from ethereum_etl_ray.pipelines.replay import replay
 
-    out = os.path.join(os.environ.get("BENCH_LAKE_DIR", "/tmp"),
-                       f"bench_lake_{NUM_CPUS}")
+    # RAM-backed lake by default, same rationale as the scaling legs (see
+    # run_scaling + BASELINE.md): this VM's virtio disk throttles to
+    # ~60 MB/s once its burst credits drain (probed 381 MB/s at session
+    # start → 60 MB/s after a handful of disk-backed legs), so a
+    # disk-backed headline measures the credit balance, not the engine.
+    # Disk-backed runs stay reproducible with BENCH_LAKE_DIR=/tmp.
+    lake_root = os.environ.get(
+        "BENCH_LAKE_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
+    out = os.path.join(lake_root, f"bench_lake_{NUM_CPUS}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
     # fixed partition count → identical physical plan at every parallelism
@@ -61,16 +68,24 @@ def _headline(corpus) -> tuple[float, int]:
 def _bench_queries() -> dict[str, float]:
     from ethereum_etl_ray.pipelines import queries as q
 
+    # min-of-N per query: single draws on this VM wobble ±20% routinely and
+    # 3-5x on a bad day (writeback/page-cache state — see BASELINE.md
+    # measurement-integrity); the min estimates the uncontended cost
+    repeat = max(1, int(os.environ.get("BENCH_QUERY_REPEAT", "2")))
     out = {}
     for name in ["lww_latest_by_key", "groupby_agg_pushdown", "window_hourly",
                  "broadcast_join_brand_rev", "exact_dedup_docs", "minhash_lsh_pairs",
                  "embedding_topk", "quality_docs"]:
-        t0 = time.perf_counter()
-        res = q.QUERIES[name](SF_DIR)
-        # consume lazily-built Datasets fully
-        if hasattr(res, "count"):
-            res.count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            res = q.QUERIES[name](SF_DIR)
+            # consume lazily-built Datasets fully
+            if hasattr(res, "count"):
+                res.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -120,9 +135,11 @@ def run_once(include_queries: bool) -> dict:
     # the 8-cpu bulk leg 68 s → 87 s (scaling 0.86 → 0.69)
     os.sync()
     # per-leg wall time on this VM wobbles ±20% (writeback, page-cache and
-    # allocator state); min-of-N estimates the uncontended cost — scaling
-    # legs use BENCH_REPEAT=2 so one bad draw can't swing the ratio
-    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
+    # allocator state) and the first draw of a fresh session can be 2-3x
+    # worse; min-of-N estimates the uncontended cost (default 2 everywhere
+    # since round 3 — a round-3 session measured the identical commit at
+    # 10.4 s and 4.9 s twenty minutes apart with single draws)
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
     sec, n_events = _headline(corpus)
     for _ in range(repeat - 1):
         os.sync()
@@ -136,8 +153,11 @@ def run_once(include_queries: bool) -> dict:
         "num_cpus": NUM_CPUS,
         "events": n_events,
         "events_per_sec": round(n_events / sec, 1),
-        "queries": _bench_queries() if include_queries else {},
+        "queries": {},
     }
+    if include_queries:
+        os.sync()  # fence headline lake writeback out of the query windows
+        result["queries"] = _bench_queries()
     ray.shutdown()
     return result
 
