@@ -31,14 +31,17 @@ def write_events_jsonl(events_dir: str, dest_dir: str) -> int:
     row count written."""
 
     def encode(t: pa.Table) -> pa.Table:
+        from ethereum_etl_ray.functions.wire import iso_utf8
+
+        # base64 has per-element padding, so unlike hex it cannot be encoded
+        # with one call over the concatenated value buffer; the loop below
+        # is one C-level b64encode per row
         html = t.column("html").to_pylist()
         b64 = [None if b is None else base64.b64encode(b).decode("ascii")
                for b in html]
-        ts = t.column("warc_ts").to_pylist()
-        iso = [None if x is None else x.isoformat() for x in ts]
         cols = {name: t.column(name) for name in t.column_names}
         cols["html"] = pa.array(b64, pa.string())
-        cols["warc_ts"] = pa.array(iso, pa.string())
+        cols["warc_ts"] = iso_utf8(t.column("warc_ts"))
         return pa.table(cols)
 
     import pyarrow.parquet as pq

@@ -30,7 +30,9 @@ import pyarrow as pa
 import ray.data
 
 
-def _serialize(batch: pa.Table) -> bytes:
+def _serialize_rows(batch: pa.Table) -> bytes:
+    """Reference row-loop serializer — kept as the byte-identity oracle for
+    the vectorized path (tests/test_sinks.py asserts equality)."""
     rows = batch.to_pylist()
     out = []
     for r in rows:
@@ -40,6 +42,20 @@ def _serialize(batch: pa.Table) -> bytes:
              for k, v in r.items()},
             sort_keys=True, ensure_ascii=False))
     return ("\n".join(out) + "\n").encode()
+
+
+def _serialize(batch: pa.Table) -> bytes:
+    """Vectorized JSON-lines serializer: hex / ISO / quoting / assembly all
+    run as Arrow kernels (functions.wire); byte-identical to
+    ``_serialize_rows``."""
+    from ethereum_etl_ray.functions.wire import json_lines
+
+    lines = json_lines(batch)
+    lv = pa.ListArray.from_arrays(
+        pa.array([0, batch.num_rows], pa.int32()), lines)
+    import pyarrow.compute as pc
+
+    return (pc.binary_join(lv, "\n")[0].as_py() + "\n").encode()
 
 
 def _write_message(queue_dir: str, payload: bytes) -> str:
