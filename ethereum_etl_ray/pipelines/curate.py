@@ -1,0 +1,138 @@
+"""End-to-end training-corpus curation — the composition a user of the
+reference's distinct-as-dedup operators (A1–A3,
+``src/tasks/extract/account.py:7-27``) actually runs corpus-wide when
+preparing LLM training data:
+
+    language filter → quality filter → exact dedup → near-dedup keep-one
+    → deterministic hash-split sample
+
+Every step is one of this engine's existing streaming operators
+(``functions.textstats``, ``pipelines.dedup``, ``stages.components``);
+this module just fuses them into a single lazy chain:
+
+  * the language/quality annotate+filter is ONE ``map_batches`` stage — the
+    filters see each text exactly once and drop rows before anything wide;
+  * exact dedup is the hash-bucketed groupby route; near-dedup auto-routes
+    (collected pairs + union-find below the streaming threshold, fully
+    distributed LSH + label propagation above it — the 100 TB shape);
+  * the final sample is the stable md5 hash-split (same rows selected on
+    every engine, every run, any partitioning).
+
+``collect_report=True`` additionally returns per-stage survivor counts.
+Counting requires executing each stage boundary, so report mode
+checkpoints stages with ``materialize()`` (object-store resident,
+spill-backed) and reuses each checkpoint for the next stage — each stage
+still runs exactly once. The default returns one unexecuted lazy Dataset
+with NO intermediate materialization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ethereum_etl_ray.functions.textstats import lang_scores_batch, quality_batch
+
+
+def _annotate_filter(langs: tuple[str, ...], min_quality_ppm: int,
+                     text_col: str):
+    lang_set = set(langs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = quality_batch(lang_scores_batch(batch, text_col=text_col),
+                            text_col=text_col)
+        keep = pc.and_(
+            pc.is_in(out.column("predicted_lang"),
+                     value_set=pa.array(sorted(lang_set), pa.string())),
+            pc.greater_equal(out.column("quality_ppm"),
+                             pa.scalar(min_quality_ppm, pa.int64())))
+        return out.filter(keep)
+
+    return fn
+
+
+def _hash_sample(id_col: str, hex_lt: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest()[0] < hex_lt
+             for i in ids), dtype=bool, count=len(ids))
+        return batch.filter(pa.array(keep))
+
+    return fn
+
+
+def curate_corpus(
+    docs: ray.data.Dataset,
+    *,
+    langs: tuple[str, ...] = ("en",),
+    min_quality_ppm: int = 0,
+    near_threshold: float = 0.7,
+    sample_hex_lt: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+    collect_report: bool = False,
+):
+    """Run the full curation chain over ``docs``.
+
+    Returns the curated Dataset, or ``(Dataset, report)`` with per-stage
+    survivor counts when ``collect_report=True``. ``sample_hex_lt="4"``
+    keeps the deterministic ≈4/16 md5 hash split; ``None`` skips sampling.
+    ``keep_cols`` projects the final output (default: the input's columns).
+    """
+    from ethereum_etl_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup_pairs
+    from ethereum_etl_ray.stages.components import dedup_apply
+
+    out_cols = keep_cols or list(docs.schema().names)
+    report: dict[str, int] = {}
+    if collect_report:
+        docs = docs.materialize()
+        report["input"] = docs.count()
+
+    filtered = docs.map_batches(
+        _annotate_filter(tuple(langs), min_quality_ppm, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # the dedup stages only need (id, text): prune the annotation columns
+    # (and any payload) before anything that shuffles
+    filtered = filtered.select_columns(
+        sorted({id_col, text_col, *out_cols}))
+    if collect_report:
+        filtered = filtered.materialize()
+        report["after_lang_quality"] = filtered.count()
+
+    # ALWAYS checkpoint here: `exact` is the DAG's join point (consumed by
+    # both the near-dup pair generation and the keep-one apply) and Ray
+    # Data does not cache lineage — unmaterialized, the whole upstream
+    # chain including the exact-dedup shuffle would execute twice. In the
+    # object store it is spill-backed; a 100 TB run that prefers durable
+    # storage should split the pipeline at this boundary (write the
+    # exact-deduped corpus to the lake, re-read for the near-dup phase).
+    exact = exact_dedup(filtered, text_col=text_col, id_col=id_col).materialize()
+    if collect_report:
+        report["after_exact_dedup"] = exact.count()
+
+    pairs = minhash_lsh_dedup_pairs(exact, threshold=near_threshold,
+                                    id_col=id_col, text_col=text_col)
+    kept = dedup_apply(exact, pairs, id_col=id_col)
+    if collect_report:
+        kept = kept.materialize()
+        report["after_near_dedup"] = kept.count()
+
+    if sample_hex_lt is not None:
+        kept = kept.map_batches(_hash_sample(id_col, sample_hex_lt),
+                                batch_format="pyarrow", zero_copy_batch=True)
+        if collect_report:
+            kept = kept.materialize()
+            report["after_sample"] = kept.count()
+
+    kept = kept.select_columns(out_cols)
+    if collect_report:
+        report["output"] = report.get("after_sample",
+                                      report["after_near_dedup"])
+        return kept, report
+    return kept

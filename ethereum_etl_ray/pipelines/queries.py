@@ -634,6 +634,20 @@ def q_near_dedup_keep(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_corpus_curate(sf_dir: str):
+    """Full training-corpus curation chain (pipelines.curate): language
+    filter → quality filter → exact dedup → near-dedup keep-one. Rows-only
+    at the driver (the near-dup step is hash-based); the pytest oracle
+    (tests/test_curate.py) pins exact survivors on a planted corpus."""
+    from ethereum_etl_ray.pipelines.curate import curate_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    kept = curate_corpus(docs, langs=("en",), min_quality_ppm=300_000,
+                         near_threshold=0.7, keep_cols=["doc_id", "n_chars"])
+    out = kept.to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str):
     from ethereum_etl_ray.pipelines.dedup import simhash_pairs
 
@@ -923,6 +937,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "connected_components": q_connected_components,
     "near_dedup_keep": q_near_dedup_keep,
+    "corpus_curate": q_corpus_curate,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,

@@ -1,0 +1,102 @@
+"""End-to-end corpus curation (pipelines.curate) — planted-survivor oracle.
+
+The planted corpus exercises every drop reason:
+  * doc 1/2/3: a near-dup chain (A~B, B~C above the Jaccard threshold but
+    A~C below it) — transitive clustering must still collapse all three to
+    the min id;
+  * doc 4/5: exact duplicates of each other — keep 4;
+  * doc 6: unique good English doc — kept;
+  * doc 7: German (language filter drop);
+  * doc 8: junk without stopwords (quality filter drop);
+  * doc 9: good English doc, later removed only when the sample split is on.
+"""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from ethereum_etl_ray.pipelines.curate import curate_corpus
+
+_EN = ("the cat sat on a mat and the dog lay by the door of the house "
+       "while the sun rose over a quiet field of green grass")
+
+
+def _planted_docs():
+    base = _EN + " extra words " + " ".join(f"tok{i}" for i in range(40))
+    near_b = base + " tail one"
+    near_c = near_b + " tail two more tokens appended here now"
+    # docs 4/6/9 share NO prefix with the cluster or each other (short docs
+    # with a common prefix exceed a 0.6 token-3-gram Jaccard easily), and
+    # they are repeated to ~120 tokens: quality_ppm is dominated by
+    # min(n_tokens, 100) so a "good" doc must not be short
+    four = ("a miller ground the wheat beside the stream and sold a sack of "
+            "flour at the market price to the baker from the village ") * 5
+    six = ("the ship left the harbor before dawn and the crew watched the "
+           "coast fade while gulls circled over the mast in the cold wind ") * 5
+    nine = ("the orchard gave a heavy crop this year and the farmer stored "
+            "the apples in the cellar until the frost passed in the spring ") * 5
+    four, six, nine = four.strip(), six.strip(), nine.strip()
+    rows = [
+        {"doc_id": 1, "text": base, "n_chars": len(base)},
+        {"doc_id": 2, "text": near_b, "n_chars": len(near_b)},
+        {"doc_id": 3, "text": near_c, "n_chars": len(near_c)},
+        {"doc_id": 4, "text": four, "n_chars": 10},
+        {"doc_id": 5, "text": four, "n_chars": 11},
+        {"doc_id": 6, "text": six, "n_chars": 12},
+        {"doc_id": 7, "text": "der hund und die katze und der vogel und die maus " * 4, "n_chars": 13},
+        # three tokens, one stopword: predicted en but deeply negative
+        # quality_ppm (the stop_ppm penalty exceeds the tiny length base)
+        {"doc_id": 8, "text": "zzz the qqq", "n_chars": 14},
+        {"doc_id": 9, "text": nine, "n_chars": 15},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_planted_survivors_exact():
+    kept = curate_corpus(_planted_docs(), langs=("en",), min_quality_ppm=200_000,
+                         near_threshold=0.6, keep_cols=["doc_id", "n_chars"])
+    out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # 1 survives its near-dup cluster {1,2,3}; 4 survives the exact pair
+    # {4,5}; 6 and 9 are unique good docs; 7 (lang) and 8 (quality) drop
+    assert out.doc_id.tolist() == [1, 4, 6, 9]
+    # non-key columns ride through untouched
+    assert out.set_index("doc_id").n_chars.to_dict()[4] == 10
+
+
+def test_report_counts_each_stage():
+    kept, report = curate_corpus(
+        _planted_docs(), langs=("en",), min_quality_ppm=200_000,
+        near_threshold=0.6, keep_cols=["doc_id"], collect_report=True)
+    assert report["input"] == 9
+    assert report["after_lang_quality"] == 7      # drops 7 (de) and 8 (junk)
+    assert report["after_exact_dedup"] == 6       # drops 5
+    assert report["after_near_dedup"] == 4        # drops 2 and 3
+    assert report["output"] == 4
+    assert sorted(kept.to_pandas().doc_id) == [1, 4, 6, 9]
+
+
+def test_sample_split_is_deterministic_subset():
+    full = curate_corpus(_planted_docs(), langs=("en",), min_quality_ppm=200_000,
+                         near_threshold=0.6, keep_cols=["doc_id"])
+    sampled = curate_corpus(_planted_docs(), langs=("en",),
+                            min_quality_ppm=200_000, near_threshold=0.6,
+                            sample_hex_lt="8", keep_cols=["doc_id"])
+    f = set(full.to_pandas().doc_id)
+    s = set(sampled.to_pandas().doc_id)
+    assert s <= f
+    # md5-split: same subset every run
+    s2 = set(curate_corpus(_planted_docs(), langs=("en",),
+                           min_quality_ppm=200_000, near_threshold=0.6,
+                           sample_hex_lt="8", keep_cols=["doc_id"])
+             .to_pandas().doc_id)
+    assert s == s2
+
+
+def test_driver_query_runs_at_sf0001():
+    from ethereum_etl_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["corpus_curate"]("/root/testdata/sf0.001")
+    assert isinstance(out, pd.DataFrame)
+    assert len(out) > 0
+    assert list(out.columns) == ["doc_id", "n_chars"]
+    assert out.doc_id.is_monotonic_increasing
