@@ -648,6 +648,23 @@ def q_corpus_curate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_corpus_filter_dedup(sf_dir: str):
+    """The SQL-expressible prefix of the curation chain — language filter +
+    quality filter + exact dedup — with a full DuckDB oracle (the near-dup
+    suffix is hash-based and covered by `corpus_curate`'s pytest oracle).
+    Pins the fused annotate-and-drop stage cross-engine."""
+    from ethereum_etl_ray.pipelines.curate import _annotate_filter
+    from ethereum_etl_ray.pipelines.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    filtered = docs.map_batches(
+        _annotate_filter(("en",), 300_000, "text"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = exact_dedup(filtered, keep_cols=["doc_id", "predicted_lang",
+                                           "quality_ppm", "n_chars"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str):
     from ethereum_etl_ray.pipelines.dedup import simhash_pairs
 
@@ -938,6 +955,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "near_dedup_keep": q_near_dedup_keep,
     "corpus_curate": q_corpus_curate,
+    "corpus_filter_dedup": q_corpus_filter_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1165,6 +1183,43 @@ ORACLE_SQL = {
                  {_LANG_SCORE['zh']} AS score_zh
           FROM documents
         )
+    """,
+    "corpus_filter_dedup": f"""
+        WITH scored AS (
+          SELECT doc_id, text, n_chars,
+                 CASE
+                   WHEN score_de >= GREATEST(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                   WHEN score_en >= GREATEST(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                   WHEN score_es >= GREATEST(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                   WHEN score_fr >= GREATEST(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                   ELSE 'zh'
+                 END AS predicted_lang,
+                 CAST(LEAST(n_tokens, 100) * 10000
+                      - ((stop_hits * 1000000) // n_tokens) // 2
+                      + (((n_chars_txt - (n_tokens - 1)) * 100) // n_tokens) * 10
+                   AS BIGINT) AS quality_ppm
+          FROM (
+            SELECT doc_id, text, n_chars,
+                   {_LANG_SCORE['de']} AS score_de,
+                   {_LANG_SCORE['en']} AS score_en,
+                   {_LANG_SCORE['es']} AS score_es,
+                   {_LANG_SCORE['fr']} AS score_fr,
+                   {_LANG_SCORE['zh']} AS score_zh,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_txt,
+                   CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+                      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3
+                      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+                      AS BIGINT) AS stop_hits
+            FROM documents
+          )
+        )
+        SELECT doc_id, predicted_lang, quality_ppm, n_chars FROM (
+          SELECT doc_id, predicted_lang, quality_ppm, n_chars,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM scored
+          WHERE predicted_lang = 'en' AND quality_ppm >= 300000
+        ) WHERE rn = 1
     """,
     "quality_docs": """
         SELECT doc_id, n_tokens, n_chars_txt, stop_ppm, mtl_c,

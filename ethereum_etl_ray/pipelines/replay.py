@@ -390,6 +390,11 @@ def _finish_via_file_shuffle(ds, shuffle_dir, out_dir, target_wm, prior, cfg,
                                           "watermark"])
     shutil.rmtree(shuffle_dir, ignore_errors=True)
     metrics["wall_sec"] = round(_time.perf_counter() - t_start, 3)
+    # merge phase = everything after the spill barrier (concat + winner sort
+    # + extract + parquet write) — recorded separately so a scaling-leg
+    # regression can be attributed to a phase, not just the total
+    metrics["merge_sec"] = round(metrics["wall_sec"] - metrics["spill_sec"], 3)
+    metrics["merged_parts"] = len(populated)
     return _commit(out_dir, target_wm, prior, cfg, summaries, metrics)
 
 

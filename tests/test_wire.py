@@ -88,3 +88,39 @@ def test_json_lines_match_dumps():
 def test_serialize_degenerate_row_counts(n):
     t = pa.table({"a": pa.array(list(range(n)), pa.int64())})
     assert _serialize(t) == _serialize_rows(t)
+
+
+# ---------------------------------------------------------------------------
+# property-based byte-identity: arbitrary rows through the vectorized
+# serializer must match the row-loop reference exactly
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40)
+_cells = {
+    "s": st.one_of(st.none(), _texts),
+    "b": st.one_of(st.none(), st.binary(max_size=24)),
+    "i": st.one_of(st.none(), st.integers(-2**62, 2**62)),
+    "f": st.one_of(st.none(),
+                   st.floats(allow_nan=False, allow_infinity=False)),
+    "t": st.one_of(st.none(), st.datetimes(
+        min_value=datetime.datetime(1700, 1, 1),
+        max_value=datetime.datetime(2200, 1, 1))),
+    "flag": st.one_of(st.none(), st.booleans()),
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.fixed_dictionaries(_cells), min_size=0, max_size=8))
+def test_serialize_property_byte_identity(rows):
+    t = pa.table({
+        "s": pa.array([r["s"] for r in rows], pa.string()),
+        "b": pa.array([r["b"] for r in rows], pa.binary()),
+        "i": pa.array([r["i"] for r in rows], pa.int64()),
+        "f": pa.array([r["f"] for r in rows], pa.float64()),
+        "t": pa.array([r["t"] for r in rows], pa.timestamp("us")),
+        "flag": pa.array([r["flag"] for r in rows], pa.bool_()),
+    })
+    assert _serialize(t) == _serialize_rows(t)
