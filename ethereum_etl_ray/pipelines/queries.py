@@ -648,6 +648,30 @@ def q_corpus_curate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_budget_sample(sf_dir: str):
+    """Token-budget prefix take (stages.selection.take_until_budget): docs
+    in deterministic md5(doc_id) priority order until the corpus holds
+    10,000 tokens. Distributed as digest-byte range selection — per-batch
+    256-bin weight histograms to the driver, one boundary bin inspected,
+    fused broadcast apply; no global sort. DuckDB oracle: the equivalent
+    windowed cumulative sum."""
+    from ethereum_etl_ray.functions.textstats import token_count
+    from ethereum_etl_ray.stages.selection import take_until_budget
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ann(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": token_count(t.column("text"))})
+
+    slim = docs.map_batches(ann, batch_format="pyarrow", zero_copy_batch=True)
+    out = take_until_budget(slim, budget=10_000, weight_col="n_tokens")
+    pdf = out.to_pandas()
+    if pdf.empty:  # this Ray's to_pandas drops the schema when fully empty
+        pdf = pd.DataFrame(columns=["doc_id", "n_tokens"])
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_corpus_filter_dedup(sf_dir: str):
     """The SQL-expressible prefix of the curation chain — language filter +
     quality filter + exact dedup — with a full DuckDB oracle (the near-dup
@@ -956,6 +980,7 @@ QUERIES = {
     "near_dedup_keep": q_near_dedup_keep,
     "corpus_curate": q_corpus_curate,
     "corpus_filter_dedup": q_corpus_filter_dedup,
+    "budget_sample": q_budget_sample,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1183,6 +1208,19 @@ ORACLE_SQL = {
                  {_LANG_SCORE['zh']} AS score_zh
           FROM documents
         )
+    """,
+    "budget_sample": """
+        SELECT doc_id, n_tokens FROM (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM (
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+            FROM documents
+          )
+        ) WHERE cum <= 10000
     """,
     "corpus_filter_dedup": f"""
         WITH scored AS (

@@ -131,3 +131,113 @@ def kth_smallest(ds: ray.data.Dataset, cols: list[str], k: int,
     assert 0 <= pos < len(rows), (
         f"selection window missed rank {k} (below={n_below}, window={len(rows)})")
     return tuple(rows.iloc[pos][c] for c in cols)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic token-budget prefix take — "sample documents in a stable
+# pseudo-random order until the corpus hits N tokens", the budgeted-subset
+# operator of a training-data pipeline. Priority order is the md5 hex of the
+# id (engine-independent, partitioning-independent; equals DuckDB's
+# ORDER BY md5(CAST(id AS VARCHAR))). Distributed as range selection over
+# the digest's leading byte(s) — no global sort:
+#
+#   round 1  map_batches: per-batch weight histogram over the first digest
+#            byte — O(256) numbers per batch to the driver;
+#   driver   prefix-sum the 256 bins → every doc in a bin strictly below
+#            the boundary byte is IN, strictly above is OUT; only the ONE
+#            boundary bin (~1/256 of the corpus; recursively refinable by
+#            the next digest byte) needs its rows inspected;
+#   round 2  collect (id, digest, weight) for the boundary bin only, sort
+#            locally, cut at the remaining budget;
+#   apply    fused filter: first_byte < b, or id ∈ broadcast boundary set.
+
+
+def _md5_first_bytes(ids: np.ndarray) -> tuple[np.ndarray, list[str]]:
+    import hashlib
+
+    hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    firsts = np.fromiter((int(h[:2], 16) for h in hexes), np.int64,
+                         count=len(hexes))
+    return firsts, hexes
+
+
+def take_until_budget(ds: ray.data.Dataset, *, budget: int, weight_col: str,
+                      id_col: str = "doc_id",
+                      max_boundary_rows: int = 5_000_000) -> ray.data.Dataset:
+    """Largest prefix of ``ds`` in md5(``id_col``)-hex order whose cumulative
+    ``weight_col`` is ≤ ``budget``. Ids must be unique (the priority order
+    is total because md5 collisions are negligible). Raises if the boundary
+    bin exceeds ``max_boundary_rows`` — at that scale refine by the second
+    digest byte before collecting (not yet needed below ~10^9 docs)."""
+
+    def hist(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        firsts, _ = _md5_first_bytes(ids)
+        sums = np.bincount(firsts, weights=w, minlength=256).astype(np.int64)
+        counts = np.bincount(firsts, minlength=256).astype(np.int64)
+        return pa.table({"byte": pa.array(np.arange(256, dtype=np.int64)),
+                         "wsum": pa.array(sums), "n": pa.array(counts)})
+
+    bins_w = np.zeros(256, np.int64)
+    bins_n = np.zeros(256, np.int64)
+    # summaries stream to the driver block-by-block (256 rows per batch);
+    # an aggregate here would add an all-to-all (see replay's spill barrier)
+    for b in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        bins_w += _fold256(b, "wsum")
+        bins_n += _fold256(b, "n")
+    cum = np.cumsum(bins_w)
+    full_below = int(np.searchsorted(cum, budget, side="right"))  # bins fully in
+    if full_below >= 256:
+        return ds  # whole corpus fits the budget
+    boundary = full_below
+    spent = int(cum[boundary - 1]) if boundary > 0 else 0
+    remaining = budget - spent
+    if bins_n[boundary] > max_boundary_rows:
+        raise RuntimeError(
+            f"take_until_budget: boundary bin holds {bins_n[boundary]} rows "
+            f"(> {max_boundary_rows}); refine by the next digest byte")
+
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        firsts, hexes = _md5_first_bytes(ids)
+        m = firsts == boundary
+        return pa.table({
+            "id": pa.array(ids[m]),
+            "hex": pa.array([h for h, keep in zip(hexes, m) if keep],
+                            pa.string()),
+            "w": pa.array(w[m]),
+        })
+
+    bdf = ds.map_batches(boundary_rows, batch_format="pyarrow").to_pandas()
+    bdf = bdf.sort_values("hex", kind="stable")
+    keep_mask = bdf.w.cumsum().to_numpy() <= remaining
+    keep_ids = np.sort(bdf.id.to_numpy()[keep_mask])
+    if boundary == 0 and not len(keep_ids):
+        # provably empty result: return a schema-carrying empty Dataset (a
+        # filter-everything map loses the schema on this Ray version —
+        # to_pandas of all-empty blocks yields zero columns)
+        s = ds.schema()  # Ray Schema wrapper, not a pyarrow.Schema
+        empty = pa.schema(list(zip(s.names, s.types))).empty_table()
+        return ray.data.from_arrow(empty)
+
+    import ray as _ray
+
+    keep_ref = _ray.put(keep_ids)  # broadcast once, read per task
+
+    def apply(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        firsts, _ = _md5_first_bytes(ids)
+        m = (firsts < boundary) | np.isin(ids, _ray.get(keep_ref))
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _fold256(b: pa.Table, col: str) -> np.ndarray:
+    """Sum a (byte, value) summary block (row count a multiple of 256,
+    bytes cycling 0..255 in order) into one 256-bin array."""
+    v = b.column(col).to_numpy(zero_copy_only=False)
+    return v.reshape(-1, 256).sum(axis=0)

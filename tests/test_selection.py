@@ -57,3 +57,57 @@ def test_kth_rejects_null_sort_columns():
     ds = ray.data.from_pandas(df)
     with pytest.raises(Exception, match="contains nulls"):
         kth_smallest(ds, ["a", "b"], 1)
+
+
+# ---------------------------------------------------------------------------
+# take_until_budget — deterministic md5-priority prefix under a weight budget
+
+import hashlib
+
+from ethereum_etl_ray.stages.selection import take_until_budget
+
+
+def _budget_truth(df, budget):
+    """Brute force: sort by md5 hex of id, cut at the cumulative budget."""
+    d = df.copy()
+    d["hex"] = [hashlib.md5(str(i).encode()).hexdigest() for i in d.doc_id]
+    d = d.sort_values("hex")
+    return set(d.doc_id[d.w.cumsum() <= budget])
+
+
+@pytest.fixture()
+def budget_df():
+    rng = np.random.RandomState(7)
+    return pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64),
+                         "w": rng.randint(1, 50, 2000).astype(np.int64)})
+
+
+@pytest.mark.parametrize("budget", [0, 1, 500, 10_000, 10**9])
+def test_budget_take_matches_brute_force(budget_df, budget):
+    ds = ray.data.from_pandas(budget_df).repartition(8)
+    out = take_until_budget(ds, budget=budget, weight_col="w")
+    # take_all, not to_pandas: this Ray version's to_pandas drops the
+    # schema (zero columns) for a fully-empty Dataset
+    got = {r["doc_id"] for r in out.take_all()}
+    assert got == _budget_truth(budget_df, budget)
+
+
+def test_budget_take_is_partitioning_invariant(budget_df):
+    a = set(take_until_budget(ray.data.from_pandas(budget_df).repartition(2),
+                              budget=3000, weight_col="w").to_pandas().doc_id)
+    b = set(take_until_budget(ray.data.from_pandas(budget_df).repartition(16),
+                              budget=3000, weight_col="w").to_pandas().doc_id)
+    assert a == b
+
+
+def test_budget_take_whole_corpus_under_budget(budget_df):
+    ds = ray.data.from_pandas(budget_df)
+    out = take_until_budget(ds, budget=int(budget_df.w.sum()), weight_col="w")
+    assert out.count() == len(budget_df)
+
+
+def test_budget_take_boundary_cap_raises(budget_df):
+    ds = ray.data.from_pandas(budget_df)
+    with pytest.raises(RuntimeError, match="boundary bin"):
+        take_until_budget(ds, budget=3000, weight_col="w",
+                          max_boundary_rows=1)
