@@ -648,6 +648,31 @@ def q_corpus_curate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus-wide vocabulary: the 50 most frequent whitespace tokens with
+    exact counts. Explode → per-batch Arrow `value_counts` combiner (the
+    shuffle moves one row per distinct token per batch, never the token
+    stream) → hash-aggregate sum → shuffle-free partial top-k with a
+    deterministic (count DESC, token ASC) tie-break."""
+    from ethereum_etl_ray.stages.topk import topk
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t.column("text"), pattern=" "))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partial = docs.map_batches(count_tokens, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    totals = (partial.groupby("token").sum("n")
+              .map_batches(lambda t: t.rename_columns(["token", "n"]),
+                           batch_format="pyarrow", zero_copy_batch=True))
+    out = topk(totals, ["n", "token"], 50, descending=[True, False])
+    return out.reset_index(drop=True)
+
+
 def q_budget_sample(sf_dir: str):
     """Token-budget prefix take (stages.selection.take_until_budget): docs
     in deterministic md5(doc_id) priority order until the corpus holds
@@ -981,6 +1006,7 @@ QUERIES = {
     "corpus_curate": q_corpus_curate,
     "corpus_filter_dedup": q_corpus_filter_dedup,
     "budget_sample": q_budget_sample,
+    "vocab_topk": q_vocab_topk,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1208,6 +1234,13 @@ ORACLE_SQL = {
                  {_LANG_SCORE['zh']} AS score_zh
           FROM documents
         )
+    """,
+    "vocab_topk": """
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 50
     """,
     "budget_sample": """
         SELECT doc_id, n_tokens FROM (

@@ -138,76 +138,121 @@ def kth_smallest(ds: ray.data.Dataset, cols: list[str], k: int,
 # pseudo-random order until the corpus hits N tokens", the budgeted-subset
 # operator of a training-data pipeline. Priority order is the md5 hex of the
 # id (engine-independent, partitioning-independent; equals DuckDB's
-# ORDER BY md5(CAST(id AS VARCHAR))). Distributed as range selection over
-# the digest's leading byte(s) — no global sort:
+# ORDER BY md5(CAST(id AS VARCHAR))). Distributed as iteratively-refined
+# range selection over the digest prefix — no global sort:
 #
-#   round 1  map_batches: per-batch weight histogram over the first digest
-#            byte — O(256) numbers per batch to the driver;
-#   driver   prefix-sum the 256 bins → every doc in a bin strictly below
-#            the boundary byte is IN, strictly above is OUT; only the ONE
-#            boundary bin (~1/256 of the corpus; recursively refinable by
-#            the next digest byte) needs its rows inspected;
-#   round 2  collect (id, digest, weight) for the boundary bin only, sort
-#            locally, cut at the remaining budget;
-#   apply    fused filter: first_byte < b, or id ∈ broadcast boundary set.
+#   per level  map_batches: per-batch weight histogram over the next digest
+#              byte among docs matching the chosen prefix — O(256) numbers
+#              per batch to the driver; a prefix sum marks bins strictly
+#              below the crossing byte fully IN and extends the prefix by
+#              that byte. Each level shrinks the boundary bin ~256×; the
+#              loop stops once it holds ≤ ``max_boundary_rows`` rows
+#              (one level covers ~10^9 docs, two ~10^11, ...).
+#   collect    (id, digest, weight) for the final boundary bin only; sort
+#              locally, cut at the remaining budget;
+#   apply      fused filter: digest-prefix < chosen prefix (vectorized
+#              lexicographic compare), or id ∈ broadcast boundary set.
 
 
-def _md5_first_bytes(ids: np.ndarray) -> tuple[np.ndarray, list[str]]:
+def _digest_mat(ids: np.ndarray) -> np.ndarray:
+    """(n, 32) uint8 matrix of md5 hex characters per id. The hashlib loop
+    is C-dominated; everything downstream is vectorized numpy."""
     import hashlib
 
-    hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-    firsts = np.fromiter((int(h[:2], 16) for h in hexes), np.int64,
-                         count=len(hexes))
-    return firsts, hexes
+    if not len(ids):
+        return np.empty((0, 32), np.uint8)
+    hexes = "".join(hashlib.md5(str(i).encode()).hexdigest() for i in ids)
+    return np.frombuffer(hexes.encode(), np.uint8).reshape(-1, 32)
+
+
+def _nibble(mat: np.ndarray, pos: int) -> np.ndarray:
+    c = mat[:, pos].astype(np.int64)
+    return c - 48 - (c >= 97) * 39  # '0'-'9' → 0-9, 'a'-'f' → 10-15
+
+
+def _prefix_eq(mat: np.ndarray, prefix: str) -> np.ndarray:
+    if not prefix:
+        return np.ones(len(mat), bool)
+    p = np.frombuffer(prefix.encode(), np.uint8)
+    return (mat[:, :len(p)] == p).all(axis=1)
+
+
+def _prefix_lt(mat: np.ndarray, prefix: str) -> np.ndarray:
+    """Vectorized lexicographic ``digest[:len(prefix)] < prefix``."""
+    p = np.frombuffer(prefix.encode(), np.uint8)
+    less = np.zeros(len(mat), bool)
+    eq = np.ones(len(mat), bool)
+    for j, pj in enumerate(p):
+        c = mat[:, j]
+        less |= eq & (c < pj)
+        eq &= c == pj
+    return less
 
 
 def take_until_budget(ds: ray.data.Dataset, *, budget: int, weight_col: str,
                       id_col: str = "doc_id",
-                      max_boundary_rows: int = 5_000_000) -> ray.data.Dataset:
+                      max_boundary_rows: int = 5_000_000,
+                      max_depth: int = 4) -> ray.data.Dataset:
     """Largest prefix of ``ds`` in md5(``id_col``)-hex order whose cumulative
     ``weight_col`` is ≤ ``budget``. Ids must be unique (the priority order
-    is total because md5 collisions are negligible). Raises if the boundary
-    bin exceeds ``max_boundary_rows`` — at that scale refine by the second
-    digest byte before collecting (not yet needed below ~10^9 docs)."""
+    is total because md5 collisions are negligible). The boundary bin is
+    refined one digest byte per level until it holds ≤ ``max_boundary_rows``
+    rows, so the driver-resident set stays bounded at any corpus size
+    (256^``max_depth`` × cap ≈ 2·10^16 docs at the defaults)."""
+    prefix = ""
+    spent = 0
+    for _depth in range(max_depth):
+        hex_off = len(prefix)
 
-    def hist(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        firsts, _ = _md5_first_bytes(ids)
-        sums = np.bincount(firsts, weights=w, minlength=256).astype(np.int64)
-        counts = np.bincount(firsts, minlength=256).astype(np.int64)
-        return pa.table({"byte": pa.array(np.arange(256, dtype=np.int64)),
-                         "wsum": pa.array(sums), "n": pa.array(counts)})
+        def hist(t: pa.Table, _pfx=prefix, _off=hex_off) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            w = t.column(weight_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            mat = _digest_mat(ids)
+            m = _prefix_eq(mat, _pfx)
+            byte = _nibble(mat, _off) * 16 + _nibble(mat, _off + 1)
+            sums = np.bincount(byte[m], weights=w[m],
+                               minlength=256).astype(np.int64)
+            counts = np.bincount(byte[m], minlength=256).astype(np.int64)
+            return pa.table({"wsum": pa.array(sums), "n": pa.array(counts)})
 
-    bins_w = np.zeros(256, np.int64)
-    bins_n = np.zeros(256, np.int64)
-    # summaries stream to the driver block-by-block (256 rows per batch);
-    # an aggregate here would add an all-to-all (see replay's spill barrier)
-    for b in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        bins_w += _fold256(b, "wsum")
-        bins_n += _fold256(b, "n")
-    cum = np.cumsum(bins_w)
-    full_below = int(np.searchsorted(cum, budget, side="right"))  # bins fully in
-    if full_below >= 256:
-        return ds  # whole corpus fits the budget
-    boundary = full_below
-    spent = int(cum[boundary - 1]) if boundary > 0 else 0
-    remaining = budget - spent
-    if bins_n[boundary] > max_boundary_rows:
+        bins_w = np.zeros(256, np.int64)
+        bins_n = np.zeros(256, np.int64)
+        # summaries stream to the driver block-by-block (256 rows/batch); an
+        # aggregate here would add an all-to-all (see replay's spill barrier)
+        for b in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            bins_w += _fold256(b, "wsum")
+            bins_n += _fold256(b, "n")
+        cum = np.cumsum(bins_w)
+        full_below = int(np.searchsorted(cum, budget - spent, side="right"))
+        if full_below >= 256:
+            # only reachable at depth 0 (a deeper boundary bin strictly
+            # exceeds the remaining budget by construction)
+            return ds
+        boundary = full_below
+        spent += int(cum[boundary - 1]) if boundary > 0 else 0
+        prefix = prefix + format(boundary, "02x")
+        if bins_n[boundary] <= max_boundary_rows:
+            break
+    else:
         raise RuntimeError(
-            f"take_until_budget: boundary bin holds {bins_n[boundary]} rows "
-            f"(> {max_boundary_rows}); refine by the next digest byte")
+            f"take_until_budget: boundary bin still holds {bins_n[boundary]} "
+            f"rows after {max_depth} refinement levels "
+            f"(> {max_boundary_rows}); raise max_depth")
+    remaining = budget - spent
 
-    def boundary_rows(t: pa.Table) -> pa.Table:
+    def boundary_rows(t: pa.Table, _pfx=prefix) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        firsts, hexes = _md5_first_bytes(ids)
-        m = firsts == boundary
+        mat = _digest_mat(ids)
+        m = _prefix_eq(mat, _pfx)
+        hexes = (mat[m].tobytes().decode()
+                 if m.any() else "")
         return pa.table({
             "id": pa.array(ids[m]),
-            "hex": pa.array([h for h, keep in zip(hexes, m) if keep],
-                            pa.string()),
+            "hex": pa.array([hexes[i * 32:(i + 1) * 32]
+                             for i in range(int(m.sum()))], pa.string()),
             "w": pa.array(w[m]),
         })
 
@@ -215,10 +260,11 @@ def take_until_budget(ds: ray.data.Dataset, *, budget: int, weight_col: str,
     bdf = bdf.sort_values("hex", kind="stable")
     keep_mask = bdf.w.cumsum().to_numpy() <= remaining
     keep_ids = np.sort(bdf.id.to_numpy()[keep_mask])
-    if boundary == 0 and not len(keep_ids):
-        # provably empty result: return a schema-carrying empty Dataset (a
-        # filter-everything map loses the schema on this Ray version —
-        # to_pandas of all-empty blocks yields zero columns)
+    if not len(keep_ids) and not int(prefix, 16):
+        # prefix all-zero and nothing kept in it: provably empty result —
+        # return a schema-carrying empty Dataset (a filter-everything map
+        # loses the schema on this Ray version: to_pandas of an all-empty
+        # Dataset yields zero columns)
         s = ds.schema()  # Ray Schema wrapper, not a pyarrow.Schema
         empty = pa.schema(list(zip(s.names, s.types))).empty_table()
         return ray.data.from_arrow(empty)
@@ -227,17 +273,17 @@ def take_until_budget(ds: ray.data.Dataset, *, budget: int, weight_col: str,
 
     keep_ref = _ray.put(keep_ids)  # broadcast once, read per task
 
-    def apply(t: pa.Table) -> pa.Table:
+    def apply(t: pa.Table, _pfx=prefix) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        firsts, _ = _md5_first_bytes(ids)
-        m = (firsts < boundary) | np.isin(ids, _ray.get(keep_ref))
+        mat = _digest_mat(ids)
+        m = _prefix_lt(mat, _pfx) | np.isin(ids, _ray.get(keep_ref))
         return t.filter(pa.array(m))
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _fold256(b: pa.Table, col: str) -> np.ndarray:
-    """Sum a (byte, value) summary block (row count a multiple of 256,
-    bytes cycling 0..255 in order) into one 256-bin array."""
+    """Sum a 256-bin summary block (row count a multiple of 256, bins
+    cycling 0..255 in order) into one 256-bin array."""
     v = b.column(col).to_numpy(zero_copy_only=False)
     return v.reshape(-1, 256).sum(axis=0)

@@ -106,8 +106,18 @@ def test_budget_take_whole_corpus_under_budget(budget_df):
     assert out.count() == len(budget_df)
 
 
-def test_budget_take_boundary_cap_raises(budget_df):
+def test_budget_take_refinement_levels_match_brute_force(budget_df):
+    """A tiny boundary cap forces digest-prefix refinement (deeper levels);
+    the kept set must be identical to the single-level answer."""
+    ds = ray.data.from_pandas(budget_df).repartition(8)
+    out = take_until_budget(ds, budget=3000, weight_col="w",
+                            max_boundary_rows=2)
+    got = {r["doc_id"] for r in out.take_all()}
+    assert got == _budget_truth(budget_df, 3000)
+
+
+def test_budget_take_boundary_cap_raises_when_depth_exhausted(budget_df):
     ds = ray.data.from_pandas(budget_df)
-    with pytest.raises(RuntimeError, match="boundary bin"):
+    with pytest.raises(RuntimeError, match="refinement levels"):
         take_until_budget(ds, budget=3000, weight_col="w",
-                          max_boundary_rows=1)
+                          max_boundary_rows=1, max_depth=1)
