@@ -73,6 +73,7 @@ def curate_corpus(
     min_quality_ppm: int = 0,
     near_threshold: float = 0.7,
     sample_hex_lt: str | None = None,
+    token_budget: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: list[str] | None = None,
@@ -83,7 +84,11 @@ def curate_corpus(
     Returns the curated Dataset, or ``(Dataset, report)`` with per-stage
     survivor counts when ``collect_report=True``. ``sample_hex_lt="4"``
     keeps the deterministic ≈4/16 md5 hash split; ``None`` skips sampling.
-    ``keep_cols`` projects the final output (default: the input's columns).
+    ``token_budget`` additionally cuts the surviving corpus to ≤ N tokens
+    in deterministic md5 priority order (``stages.selection
+    .take_until_budget`` over the annotate stage's ``n_tokens``) — the
+    "curate down to a training budget" endpoint. ``keep_cols`` projects the
+    final output (default: the input's columns).
     """
     from ethereum_etl_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup_pairs
     from ethereum_etl_ray.stages.components import dedup_apply
@@ -98,9 +103,12 @@ def curate_corpus(
         _annotate_filter(tuple(langs), min_quality_ppm, text_col),
         batch_format="pyarrow", zero_copy_batch=True)
     # the dedup stages only need (id, text): prune the annotation columns
-    # (and any payload) before anything that shuffles
-    filtered = filtered.select_columns(
-        sorted({id_col, text_col, *out_cols}))
+    # (and any payload) before anything that shuffles — but carry the token
+    # count through when the budget cut needs it downstream
+    carry = {id_col, text_col, *out_cols}
+    if token_budget is not None:
+        carry.add("n_tokens")
+    filtered = filtered.select_columns(sorted(carry))
     if collect_report:
         filtered = filtered.materialize()
         report["after_lang_quality"] = filtered.count()
@@ -130,9 +138,22 @@ def curate_corpus(
             kept = kept.materialize()
             report["after_sample"] = kept.count()
 
+    if token_budget is not None:
+        from ethereum_etl_ray.stages.selection import take_until_budget
+
+        # another DAG join point: the budget cut makes multiple passes
+        # (per-level histograms + boundary collect + apply)
+        kept = kept.materialize()
+        kept = take_until_budget(kept, budget=token_budget,
+                                 weight_col="n_tokens", id_col=id_col)
+        if collect_report:
+            kept = kept.materialize()
+            report["after_budget"] = kept.count()
+
     kept = kept.select_columns(out_cols)
     if collect_report:
-        report["output"] = report.get("after_sample",
-                                      report["after_near_dedup"])
+        report["output"] = report.get(
+            "after_budget",
+            report.get("after_sample", report["after_near_dedup"]))
         return kept, report
     return kept

@@ -100,3 +100,29 @@ def test_driver_query_runs_at_sf0001():
     assert len(out) > 0
     assert list(out.columns) == ["doc_id", "n_chars"]
     assert out.doc_id.is_monotonic_increasing
+
+
+def test_token_budget_cut_is_greedy_md5_prefix():
+    """token_budget composes after dedup: survivors are cut in md5 priority
+    order at the cumulative n_tokens budget."""
+    import hashlib
+
+    kept, report = curate_corpus(
+        _planted_docs(), langs=("en",), min_quality_ppm=200_000,
+        near_threshold=0.6, token_budget=200,
+        keep_cols=["doc_id", "n_tokens"], collect_report=True)
+    out = kept.to_pandas().sort_values("doc_id")
+    survivors = {1, 4, 6, 9}
+    assert set(out.doc_id) <= survivors
+    assert report["after_budget"] == len(out)
+    # reproduce the greedy cut independently
+    full = curate_corpus(_planted_docs(), langs=("en",),
+                         min_quality_ppm=200_000, near_threshold=0.6,
+                         keep_cols=["doc_id", "n_tokens"],
+                         token_budget=10**9).to_pandas()
+    full["hex"] = [hashlib.md5(str(i).encode()).hexdigest()
+                   for i in full.doc_id]
+    full = full.sort_values("hex")
+    expect = set(full.doc_id[full.n_tokens.cumsum() <= 200])
+    assert set(out.doc_id) == expect
+    assert out.n_tokens.sum() <= 200
