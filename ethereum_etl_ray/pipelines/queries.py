@@ -648,6 +648,51 @@ def q_corpus_curate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified quota sample: the 20 md5-first documents per language —
+    the balanced-training-mix operator (equal per-stratum quotas regardless
+    of corpus skew), deterministic on every engine/run/partitioning. Same
+    partition-parallel shape as cap_per_key: per-batch combiner bounds the
+    shuffle at k rows per stratum per batch, then one hash partition + an
+    exact per-group cap."""
+    import hashlib
+
+    from ethereum_etl_ray.functions.hashing import partition_ids
+
+    k = 20
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    keys = [("lang", "ascending"), ("__hex", "ascending")]
+
+    def ann(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return t.append_column("__hex", pa.array(hexes, pa.string()))
+
+    def cap(t: pa.Table) -> pa.Table:
+        t = t.sort_by(keys)
+        u = t.column("lang").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        run_id = np.cumsum(np.concatenate(
+            [[0], (u[1:] != u[:-1]).astype(np.int64)]))
+        rank = np.arange(len(u)) - starts[run_id]
+        return t.filter(pa.array(rank < k))
+
+    def assign(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", pa.array(
+            partition_ids(t.column("lang"), 16), pa.int32()))
+
+    def cap_group(g: pa.Table) -> pa.Table:
+        return cap(g.drop_columns(["__part"]))
+
+    out = (ds.map_batches(ann, batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(cap, batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("__part").map_groups(cap_group, batch_format="pyarrow")
+           .select_columns(["doc_id", "lang", "n_chars"])
+           .to_pandas())
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus-wide vocabulary: the 50 most frequent whitespace tokens with
     exact counts. Explode → per-batch Arrow `value_counts` combiner (the
@@ -1007,6 +1052,7 @@ QUERIES = {
     "corpus_filter_dedup": q_corpus_filter_dedup,
     "budget_sample": q_budget_sample,
     "vocab_topk": q_vocab_topk,
+    "stratified_sample": q_stratified_sample,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1234,6 +1280,15 @@ ORACLE_SQL = {
                  {_LANG_SCORE['zh']} AS score_zh
           FROM documents
         )
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+          FROM documents
+        ) WHERE rn <= 20
     """,
     "vocab_topk": """
         SELECT token, CAST(count(*) AS BIGINT) AS n FROM (

@@ -121,3 +121,30 @@ def test_budget_take_boundary_cap_raises_when_depth_exhausted(budget_df):
     with pytest.raises(RuntimeError, match="refinement levels"):
         take_until_budget(ds, budget=3000, weight_col="w",
                           max_boundary_rows=1, max_depth=1)
+
+
+# property-based: arbitrary weights/budgets match the brute-force cut
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(1, 100), min_size=1, max_size=300),
+       st.integers(0, 4000))
+def test_budget_take_property(ws, budget):
+    df = pd.DataFrame({"doc_id": np.arange(len(ws), dtype=np.int64),
+                       "w": np.array(ws, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = {r["doc_id"] for r in
+           take_until_budget(ds, budget=budget, weight_col="w").take_all()}
+    assert got == _budget_truth(df, budget)
+
+
+def test_stratified_sample_partitioning_invariant():
+    from ethereum_etl_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["stratified_sample"]("/root/testdata/sf0.001")
+    # exactly 20 per language (every lang has >20 docs at sf0.001)
+    assert (out.groupby("lang").size() == 20).all()
+    out2 = QUERIES["stratified_sample"]("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(out, out2)
