@@ -648,6 +648,77 @@ def q_corpus_curate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword extraction — the top-5 tokens per doc by an
+    integer-exact tf-idf-style score (``tf * 1e6 // df``; pure int math so
+    the DuckDB oracle hashes identically — float idf would drift at floor
+    boundaries). Fully distributed: per-batch exact tf (each row is one
+    complete document, so term counts need no shuffle), one token-keyed
+    aggregate for df, a co-group hash join back, and a per-doc cap via the
+    combiner-bounded partition-parallel shape."""
+    from ethereum_etl_ray.functions.hashing import partition_ids
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        doc = pc.take(t.column("doc_id"), parents)
+        g = (pd.DataFrame({"doc_id": doc.to_pandas(),
+                           "token": flat.to_pandas()})
+             .groupby(["doc_id", "token"], sort=False)
+             .size().reset_index(name="tf"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tf = docs.map_batches(tf_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    df = (tf.groupby("token").count()
+          .map_batches(lambda t: pa.table({
+              "__tok": t.column("token"),
+              "df": pc.cast(t.column("count()"), pa.int64())})
+              if "token" in t.column_names else
+              pa.table({"__tok": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64())}),
+              batch_format="pyarrow", zero_copy_batch=True))
+    joined = cogroup_join(tf, df, left_on="token", right_on="__tok",
+                          how="inner")
+
+    k = 5
+    keys = [("doc_id", "ascending"), ("score", "descending"),
+            ("token", "ascending")]
+
+    def score_cap(t: pa.Table) -> pa.Table:
+        if "score" in t.column_names:  # second (per-group) pass re-caps only
+            t = t.drop_columns(["score"])
+        score = pc.divide(
+            pc.multiply(pc.cast(t.column("tf"), pa.int64()),
+                        pa.scalar(1_000_000, pa.int64())),
+            pc.cast(t.column("df"), pa.int64()))
+        t = t.append_column("score", score).sort_by(keys)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        run_id = np.cumsum(np.concatenate(
+            [[0], (d[1:] != d[:-1]).astype(np.int64)]))
+        rank = np.arange(len(d)) - starts[run_id]
+        return t.filter(pa.array(rank < k))
+
+    def assign(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", pa.array(
+            partition_ids(t.column("doc_id"), 32), pa.int32()))
+
+    out = (joined.map_batches(score_cap, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("__part")
+           .map_groups(lambda g: score_cap(g.drop_columns(["__part"])),
+                       batch_format="pyarrow")
+           .select_columns(["doc_id", "token", "tf", "df", "score"])
+           .to_pandas())
+    return out.sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified quota sample: the 20 md5-first documents per language —
     the balanced-training-mix operator (equal per-stratum quotas regardless
@@ -1053,6 +1124,7 @@ QUERIES = {
     "budget_sample": q_budget_sample,
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
+    "doc_keywords": q_doc_keywords,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1280,6 +1352,25 @@ ORACLE_SQL = {
                  {_LANG_SCORE['zh']} AS score_zh
           FROM documents
         )
+    """,
+    "doc_keywords": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, token
+        ), df AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+        )
+        SELECT doc_id, token, tf, df, score FROM (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * 1000000 // df.df DESC, tf.token) AS rn
+          FROM tf JOIN df USING (token)
+        ) WHERE rn <= 5
     """,
     "stratified_sample": """
         SELECT doc_id, lang, n_chars FROM (
