@@ -267,32 +267,53 @@ def connected_components_ds(pairs: ray.data.Dataset, *, a_col: str = "doc_a",
 
 def dedup_apply(docs: ray.data.Dataset, pairs, *, id_col: str = "doc_id",
                 a_col: str = "doc_a", b_col: str = "doc_b",
-                route: str = "broadcast") -> ray.data.Dataset:
+                route: str = "broadcast",
+                pairs_exact_threshold: int = 5_000_000) -> ray.data.Dataset:
     """Drop all but the min-id representative of every duplicate cluster.
 
     ``pairs`` is either a driver-resident DataFrame (union-find route) or a
-    Dataset (distributed label propagation). Docs in no pair are kept.
+    Dataset. A pair DATASET is auto-routed like the engine's other gates
+    (``winner_exact_threshold``, the LSH streaming threshold): at or below
+    ``pairs_exact_threshold`` rows the pair set collects to the driver for
+    exact union-find (duplicate pairs are ≪ corpus in realistic runs, and
+    the distributed label-propagation loop costs several fixed shuffle
+    rounds); above it, distributed min-label propagation keeps the pair set
+    and label table off the driver. Docs in no pair are kept.
     ``route="shuffle"`` keeps even the drop set distributed (one corpus
     shuffle via left-anti co-group join); ``"broadcast"`` collects only the
     drop ids (O(#duplicates)) and anti-filters with no shuffle."""
     from ethereum_etl_ray.stages.joins import cogroup_join, semi_anti_filter
 
+    if isinstance(pairs, ray.data.Dataset):
+        # pin before counting: the pair pipeline is lazy and would otherwise
+        # execute once for count() and again for the collect / CC passes
+        pairs = pairs.materialize()
+        if pairs.count() <= pairs_exact_threshold:
+            pairs = pairs.to_pandas()
+
+    if route not in ("broadcast", "shuffle"):
+        raise ValueError(f"route must be 'broadcast'|'shuffle', got {route!r}")
+
     if isinstance(pairs, pd.DataFrame):
         labels = union_find_labels(pairs, a_col=a_col, b_col=b_col)
-        drops = labels.node.to_numpy()[
+        drops_np = labels.node.to_numpy()[
             labels.node.to_numpy() != labels.component.to_numpy()]
-        return semi_anti_filter(docs, drops, on=id_col, anti=True)
+        if route == "broadcast":
+            return semi_anti_filter(docs, drops_np, on=id_col, anti=True)
+        # the shuffle route stays available with driver-computed labels
+        drops = ray.data.from_arrow(pa.table({
+            "node": pa.array(drops_np, pa.int64())}))
+    else:
+        comp = connected_components_ds(pairs, a_col=a_col, b_col=b_col)
+        drops = comp.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("node"),
+                                            t.column("component")))
+            .select(["node"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        if route == "broadcast":
+            drop_ids = drops.to_pandas().node.to_numpy()
+            return semi_anti_filter(docs, drop_ids, on=id_col, anti=True)
 
-    comp = connected_components_ds(pairs, a_col=a_col, b_col=b_col)
-    drops = comp.map_batches(
-        lambda t: t.filter(pc.not_equal(t.column("node"),
-                                        t.column("component"))),
-        batch_format="pyarrow", zero_copy_batch=True)
-    if route == "broadcast":
-        drop_ids = drops.select_columns(["node"]).to_pandas().node.to_numpy()
-        return semi_anti_filter(docs, drop_ids, on=id_col, anti=True)
-    if route != "shuffle":
-        raise ValueError(f"route must be 'broadcast'|'shuffle', got {route!r}")
     marked = drops.map_batches(
         lambda t: pa.table({"__drop_id": pc.cast(t.column("node"), pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)

@@ -113,3 +113,19 @@ def test_self_pairs_are_harmless():
     ds_pairs = ray.data.from_pandas(pairs)
     got = sorted(dedup_apply(docs, ds_pairs, route="shuffle").to_pandas().doc_id)
     assert got == [0, 1, 3, 4]
+
+
+def test_dataset_pairs_auto_route_agrees_with_forced_distributed():
+    """The pairs_exact_threshold gate: a small pair Dataset collects to
+    driver union-find by default; forcing threshold=0 takes distributed
+    label propagation — identical survivors either way, on both apply
+    routes."""
+    pairs = _rand_pairs(11, 80, 50)
+    docs = ray.data.from_items([{"doc_id": i} for i in range(80)])
+    ds_pairs = ray.data.from_pandas(pairs).materialize()
+    auto = sorted(dedup_apply(docs, ds_pairs).to_pandas().doc_id)
+    dist = sorted(dedup_apply(docs, ds_pairs,
+                              pairs_exact_threshold=0).to_pandas().doc_id)
+    auto_sh = sorted(dedup_apply(docs, ds_pairs,
+                                 route="shuffle").to_pandas().doc_id)
+    assert auto == dist == auto_sh
