@@ -648,6 +648,36 @@ def q_corpus_curate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_json_extract_props(sf_dir: str):
+    """Wire-payload field extraction (the reference's JSON-RPC result
+    decode, src/clients/rpc_client.py:60-117, over the driver tables):
+    pull the integer `k` out of the JSON `props` column with one RE2
+    kernel per batch — the flat-field fast path a JSON scanner takes —
+    then aggregate per event_type through a per-batch combiner so the
+    shuffle moves one row per (batch, type)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        g = (pd.DataFrame({"event_type": t.column("event_type").to_pandas(),
+                           "k": k.to_pandas()})
+             .groupby("event_type", sort=False)
+             .agg(n_events=("k", "size"), sum_k=("k", "sum"))
+             .reset_index())
+        g["sum_k"] = g.sum_k.astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(combine, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type").sum(["n_events", "sum_k"])
+           .map_batches(lambda t: t.rename_columns(
+               ["event_type", "n_events", "sum_k"]),
+               batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_doc_keywords(sf_dir: str):
     """Per-document keyword extraction — the top-5 tokens per doc by an
     integer-exact tf-idf-style score (``tf * 1e6 // df``; pure int math so
@@ -1125,6 +1155,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
     "doc_keywords": q_doc_keywords,
+    "json_extract_props": q_json_extract_props,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1352,6 +1383,12 @@ ORACLE_SQL = {
                  {_LANG_SCORE['zh']} AS score_zh
           FROM documents
         )
+    """,
+    "json_extract_props": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
     """,
     "doc_keywords": """
         WITH tok AS (

@@ -38,24 +38,13 @@ def test_every_oracle_key_has_a_query(contract):
     assert len(qs) >= 30
 
 
-ORACLED = [
-    "lww_latest_by_key", "fww_first_by_key", "tombstone_merge", "retention_evict",
-    "projection_revenue", "explode_tokens", "filter_dispatch", "hex_roundtrip",
-    "distinct_union_keys", "anti_join_users", "derived_counts", "table_counts",
-    "groupby_agg_pushdown", "heavy_hitter_users", "broadcast_join_brand_rev",
-    "hash_join_segment_status", "asof_join_orders", "topk_orders", "window_hourly",
-    "exact_dedup_docs", "doc_fingerprint", "lang_id_docs", "quality_docs",
-    "embedding_topk", "ann_ivf_topk", "multimodal_decode",
-    "enrich_segment_spend", "graph_reach", "ann_ivf_persisted",
-    "embedding_cosine_pairs", "deterministic_sample", "cap_per_key",
-    "multimodal_frames", "bpe_token_count", "connected_components",
-]
+# derive from the live contract at collection time so every new query is
+# covered automatically (a static list silently skipped round-3 additions)
+import __ray_entry__ as _entry_mod
 
-ROWS_ONLY = ["winnow_fingerprint", "minhash_lsh_pairs", "near_dedup_keep",
-             "simhash_pairs",
-             "ngram_jaccard_pairs", "cms_heavy_hitters", "random_sample",
-             "cdc_replay_full", "cdc_replay_ignore", "cdc_resume_tail",
-             "cdc_bulk_load", "schema_evolution_audit", "stream_publish"]
+_ALL_QUERIES = _entry_mod.queries()
+ORACLED = sorted(_entry_mod.oracle_sql())
+ROWS_ONLY = sorted(set(_ALL_QUERIES) - set(ORACLED))
 
 
 @pytest.mark.parametrize("name", ORACLED)
