@@ -648,6 +648,58 @@ def q_corpus_curate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization: per user, a new session starts after a
+    >30 min silence; one row per session with count, bounds and the
+    cent-quantized value sum (int-exact like window_hourly). Sessionization
+    cannot pre-combine (a user's whole history must co-locate), so it is
+    exactly one hash shuffle by user_id followed by a fully-vectorized
+    per-partition pass: one sort, boundary masks, cumsum session ids and
+    ``add.reduceat`` fold — no Python loop over rows or sessions."""
+    from ethereum_etl_ray.functions.hashing import partition_ids
+
+    gap_us = 1800 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", pa.array(
+            partition_ids(t.column("user_id"), 32), pa.int32()))
+
+    def sessionize(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        vc = np.floor(val * 100 + 0.5).astype(np.int64)
+        n = len(u)
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
+        new_sess = new_user | gap
+        sid_global = np.cumsum(new_sess)
+        user_starts = np.flatnonzero(new_user)
+        user_run = np.cumsum(new_user) - 1
+        session_id = sid_global - sid_global[user_starts[user_run]] + 1
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate([starts[1:] - 1, [n - 1]])
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "session_id": pa.array(session_id[starts], pa.int64()),
+            "n_events": pa.array(np.diff(np.concatenate([starts, [n]])),
+                                 pa.int64()),
+            "t_start": pa.array(ts[starts], pa.int64()).cast(pa.timestamp("us")),
+            "t_end": pa.array(ts[ends], pa.int64()).cast(pa.timestamp("us")),
+            "value_c100": pa.array(np.add.reduceat(vc, starts), pa.int64()),
+        })
+
+    out = (ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("__part")
+           .map_groups(lambda g: sessionize(g.drop_columns(["__part"])),
+                       batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
 def q_json_extract_props(sf_dir: str):
     """Wire-payload field extraction (the reference's JSON-RPC result
     decode, src/clients/rpc_client.py:60-117, over the driver tables):
@@ -1156,6 +1208,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "doc_keywords": q_doc_keywords,
     "json_extract_props": q_json_extract_props,
+    "sessionize": q_sessionize,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1383,6 +1436,28 @@ ORACLE_SQL = {
                  {_LANG_SCORE['zh']} AS score_zh
           FROM documents
         )
+    """,
+    "sessionize": """
+        WITH ordered AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM ordered
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS t_start, max(ts) AS t_end,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_c100
+        FROM sess GROUP BY user_id, session_id
     """,
     "json_extract_props": """
         SELECT event_type,
