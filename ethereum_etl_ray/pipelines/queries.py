@@ -648,6 +648,45 @@ def q_corpus_curate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_window_sliding(sf_dir: str):
+    """Sliding-window aggregate: 1 h windows advancing every 15 min (each
+    event belongs to exactly 4 overlapping windows). The overlap is an
+    explode — 4 rows per event, vectorized with repeat/tile — immediately
+    collapsed by a per-batch combiner, so the shuffle moves one row per
+    (batch, window), never the exploded event stream. Complements the
+    tumbling `window_hourly`."""
+    slide_s, k_windows = 900, 4
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vc = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                      * 100 + 0.5).astype(np.int64)
+        bucket = ts_us // (slide_s * 1_000_000)
+        ks = np.tile(np.arange(k_windows, dtype=np.int64), len(bucket))
+        starts = (np.repeat(bucket, k_windows) - ks) * slide_s
+        vrep = np.repeat(vc, k_windows)
+        order = np.argsort(starts, kind="stable")
+        s_s, v_s = starts[order], vrep[order]
+        run = np.concatenate([[0], np.flatnonzero(np.diff(s_s)) + 1])
+        return pa.table({
+            "window_start": pa.array(s_s[run], pa.int64()),
+            "n_events": pa.array(np.diff(np.concatenate([run, [len(s_s)]])),
+                                 pa.int64()),
+            "value_c100": pa.array(np.add.reduceat(v_s, run), pa.int64()),
+        })
+
+    out = (ds.map_batches(combine, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("window_start").sum(["n_events", "value_c100"])
+           .map_batches(lambda t: t.rename_columns(
+               ["window_start", "n_events", "value_c100"]),
+               batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas())
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization: per user, a new session starts after a
     >30 min silence; one row per session with count, bounds and the
@@ -1209,6 +1248,7 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "json_extract_props": q_json_extract_props,
     "sessionize": q_sessionize,
+    "window_sliding": q_window_sliding,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1436,6 +1476,19 @@ ORACLE_SQL = {
                  {_LANG_SCORE['zh']} AS score_zh
           FROM documents
         )
+    """,
+    "window_sliding": """
+        SELECT window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_c100
+        FROM (
+          SELECT (CAST(floor(epoch(ts) / 900) AS BIGINT) - k.k) * 900
+                   AS window_start,
+                 value
+          FROM events
+          CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+        ) GROUP BY window_start
     """,
     "sessionize": """
         WITH ordered AS (
