@@ -100,6 +100,47 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+def rep_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Token-repetition quality features (Gopher-style repetition filters).
+
+    Per document: n_tokens, n_distinct (distinct tokens), dup_ppm
+    (= (n_tokens - n_distinct)*1e6 // n_tokens, the duplicate-token share)
+    and top_tok_ppm (= most-frequent-token count *1e6 // n_tokens). High
+    dup_ppm / top_tok_ppm marks boilerplate and keyword-stuffed pages for
+    eviction before training.
+
+    Vectorized across the whole batch: one split, one dictionary-encode, one
+    ``np.unique`` over composite (doc, token-id) keys — no per-row loops.
+    All outputs are integers (floor division) for exact SQL-oracle parity.
+    """
+    text = batch.column(text_col).combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    def _ca(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    flat = _ca(pc.list_flatten(toks))
+    parent = _ca(pc.list_parent_indices(toks)).to_numpy()
+    n_tok = _ca(pc.list_value_length(toks)).to_numpy(zero_copy_only=False)
+    n_tok = np.asarray(n_tok, dtype=np.int64)
+    code = _ca(flat.dictionary_encode()).indices.to_numpy().astype(np.int64)
+    vocab = int(code.max()) + 1 if len(code) else 1
+    # composite key (doc, token) → counts; one pass gives both distinct counts
+    # and the per-doc max token frequency
+    key = parent * vocab + code
+    uniq, counts = np.unique(key, return_counts=True)
+    udoc = uniq // vocab
+    n_rows = batch.num_rows
+    n_distinct = np.bincount(udoc, minlength=n_rows).astype(np.int64)
+    top = np.zeros(n_rows, dtype=np.int64)
+    np.maximum.at(top, udoc, counts)
+    dup_ppm = (n_tok - n_distinct) * 1_000_000 // np.maximum(n_tok, 1)
+    top_ppm = top * 1_000_000 // np.maximum(n_tok, 1)
+    for name, arr in [("n_tokens", n_tok), ("n_distinct", n_distinct),
+                      ("dup_ppm", dup_ppm), ("top_tok_ppm", top_ppm)]:
+        batch = batch.append_column(name, pa.array(arr, pa.int64()))
+    return batch
+
+
 def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text",
                           out_col: str = "fingerprint") -> pa.Table:
     """md5 hex fingerprint per document (matches SQL ``md5(text)``).

@@ -1201,6 +1201,84 @@ def q_schema_evolution_audit(sf_dir: str):
                        Sum("n_null_fetch_status", alias_name="n_null_fetch_status")))
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction over the corpus: emails / IPv4s / phone numbers masked
+    with RE2 kernels, per-kind match counts retained for audit. The synthetic
+    corpus carries no PII, so the pipeline first PLANTS it deterministically
+    from doc_id (the oracle repeats the derivation) — every row exercises
+    every pattern. Stateless task-pool stage, zero-copy Arrow throughout."""
+    from ethereum_etl_ray.functions.redact import plant_pii_batch, redact_pii_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def both(t: pa.Table) -> pa.Table:
+        return redact_pii_batch(plant_pii_batch(t))
+
+    return (ds.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+            .select_columns(["doc_id", "n_emails", "n_ips", "n_phones", "clean"]))
+
+
+def q_normalize_part(sf_dir: str):
+    """Text canonicalization (NFC → lower → whitespace-collapse → trim) over a
+    deterministically-dirtied mixed-case string — the normalize-before-dedup
+    step of a crawl pipeline, on the one table with real mixed-case text."""
+    from ethereum_etl_ray.functions.redact import normalize_text_batch
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+
+    def dirty_then_norm(t: pa.Table) -> pa.Table:
+        # "  " + UPPER(p_name) + "\t" + p_type + "  " — mirrored in SQL
+        raw = pc.binary_join_element_wise(
+            "  ", pc.utf8_upper(t.column("p_name")), "\t", t.column("p_type"),
+            "  ", "")
+        t = t.append_column("raw", raw)
+        return normalize_text_batch(t, "raw", "norm")
+
+    return (ds.map_batches(dirty_then_norm, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .select_columns(["p_partkey", "norm"]))
+
+
+def q_rep_stats(sf_dir: str):
+    """Token-repetition quality filter (Gopher-style): per-doc duplicate-token
+    and top-token shares in integer ppm; fully vectorized (one dictionary
+    encode + one np.unique per batch)."""
+    from ethereum_etl_ray.functions.textstats import rep_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(rep_stats_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .select_columns(["doc_id", "n_tokens", "n_distinct", "dup_ppm",
+                             "top_tok_ppm"]))
+
+
+_PACK_BUDGET = 2000
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: cut the doc_id-ordered token stream into
+    fixed-budget training sequences via the distributed prefix sum in
+    stages/packing.py (per-bucket partials → driver prefix over O(#buckets)
+    rows → one narrow hash shuffle)."""
+    from ethereum_etl_ray.functions.textstats import token_count
+    from ethereum_etl_ray.stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": token_count(t.column("text"))})
+
+    counted = ds.map_batches(with_tokens, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # doc_ids are dense 0..N-1, so the metadata-only parquet row count bounds
+    # the key space without an extra full pass (pack_sequences would
+    # otherwise run a max() aggregation)
+    return pack_sequences(counted, key="doc_id", weight="n_tokens",
+                          budget=_PACK_BUDGET, n_buckets=64,
+                          key_upper_bound=ds.count())
+
+
 # --------------------------------------------------------------------------
 # registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1257,6 +1335,10 @@ QUERIES = {
     "random_sample": q_random_sample,
     "deterministic_sample": q_deterministic_sample,
     "cap_per_key": q_cap_per_key,
+    "pii_redact": q_pii_redact,
+    "normalize_part": q_normalize_part,
+    "rep_stats": q_rep_stats,
+    "pack_sequences": q_pack_sequences,
     "cdc_replay_full": q_cdc_replay_full,
     "cdc_replay_ignore": q_cdc_replay_ignore,
     "cdc_resume_tail": q_cdc_resume_tail,
@@ -1630,6 +1712,62 @@ ORACLE_SQL = {
                  ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)
                  AS n_bpe_tokens
         FROM documents
+    """,
+    # nested replaces mirror the engine's contract order: emails, then IPs,
+    # then phones (both engines execute RE2, so patterns are byte-identical)
+    "pii_redact": """
+        WITH planted AS (
+          SELECT doc_id,
+                 'contact user' || doc_id || '@mail.example.com or +1-202-555-'
+                   || (doc_id % 9000 + 1000) || ' from 10.' || (doc_id % 256)
+                   || '.0.1 re: ' || text AS dirty
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(dirty,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(length(regexp_extract_all(dirty,
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+                 AS n_ips,
+               CAST(length(regexp_extract_all(dirty,
+                 '\\+[0-9][0-9-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(dirty,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                 '\\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        FROM planted
+    """,
+    "normalize_part": """
+        SELECT p_partkey,
+               trim(regexp_replace(lower(nfc_normalize(
+                 '  ' || upper(p_name) || chr(9) || p_type || '  ')),
+                 '\\s+', ' ', 'g')) AS norm
+        FROM part
+    """,
+    "rep_stats": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), cnt AS (
+          SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+        )
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+               (sum(c) - count(*)) * 1000000 // sum(c) AS dup_ppm,
+               max(c) * 1000000 // sum(c) AS top_tok_ppm
+        FROM cnt GROUP BY doc_id
+    """,
+    "pack_sequences": f"""
+        SELECT doc_id, n_tokens,
+               CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_id
+        FROM (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM (
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                     AS BIGINT) AS n_tokens
+            FROM documents))
     """,
     "embedding_topk": f"""
         WITH q AS (
