@@ -135,6 +135,27 @@ def cmd_restore(args):
                       "partitions": len(m.partitions)}))
 
 
+def cmd_diff(args):
+    """Changed urls between two retained manifest generations (incremental
+    CDC consumer surface; the distributed analogue of diffing the
+    reference's backup tables, src/repositories/sqlite/base.py:81-136)."""
+    _ray_up(args.num_cpus)
+    from ethereum_etl_ray.pipelines.diff import lake_diff
+
+    ds = lake_diff(args.out, args.from_gen, args.to_gen)
+    if args.dest:
+        ds.write_parquet(args.dest)
+    df = ds.to_pandas() if not args.dest else None
+    counts = (df.change.value_counts().to_dict() if df is not None else None)
+    summary = {"out": args.out, "from": args.from_gen, "to": args.to_gen}
+    if counts is not None:
+        summary["changes"] = {k: int(v) for k, v in sorted(counts.items())}
+        summary["total"] = int(len(df))
+    else:
+        summary["dest"] = args.dest
+    print(json.dumps(summary))
+
+
 def cmd_retention(args):
     _ray_up(args.num_cpus)
     from ethereum_etl_ray.pipelines.retention import apply_retention
@@ -203,6 +224,14 @@ def main(argv=None):
     sp.add_argument("--watermark", type=int, default=None)
     sp.add_argument("--generation", type=int, default=None)
     sp.set_defaults(fn=cmd_restore)
+
+    sp = sub.add_parser("diff", help="changed urls between two retained generations")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--from-gen", type=int, required=True)
+    sp.add_argument("--to-gen", type=int, required=True)
+    sp.add_argument("--dest", default=None,
+                    help="write full diff rows as parquet instead of printing counts")
+    sp.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser("retention", help="evict oldest rows (reference A8 free_space)")
     sp.add_argument("--out", required=True)

@@ -1279,6 +1279,27 @@ def q_pack_sequences(sf_dir: str):
                           key_upper_bound=ds.count())
 
 
+def q_lake_diff(sf_dir: str):
+    """Generation diff (incremental-consumer CDC surface): replay to the
+    half-way watermark, then to the full watermark, and emit exactly the
+    urls whose winning event changed between the two committed checkpoints.
+    Unchanged partitions are skipped by lineage checksum without a read;
+    changed ones diff pairwise (co-partitioned) with no shuffle. Rows-only
+    at the driver; tests/test_diff.py checks it against the dict-diff of the
+    sequential-replay oracle at the two watermarks."""
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.diff import lake_diff
+    from ethereum_etl_ray.pipelines.replay import replay
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    out = _cdc_out_dir(sf_dir, "gen_diff")
+    cfg = EngineConfig(num_partitions=32)
+    r1 = replay(corpus, out, cfg, watermark=corpus.watermark // 2)
+    r2 = replay(corpus, out, cfg)
+    return lake_diff(out, r1.manifest.generation, r2.manifest.generation)
+
+
 # --------------------------------------------------------------------------
 # registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1343,6 +1364,7 @@ QUERIES = {
     "cdc_replay_ignore": q_cdc_replay_ignore,
     "cdc_resume_tail": q_cdc_resume_tail,
     "cdc_bulk_load": q_cdc_bulk_load,
+    "lake_diff": q_lake_diff,
     "stream_publish": q_stream_publish,
     "schema_evolution_audit": q_schema_evolution_audit,
 }

@@ -111,3 +111,26 @@ def test_cli_inspect_missing_lake_errors(capsys, tmp_path):
     with pytest.raises(SystemExit):
         main(["inspect", "--out", str(tmp_path / "nope")])
     assert "error" in json.loads(capsys.readouterr().out.strip())
+
+
+def test_cli_diff_counts_and_parquet(capsys, tiny_corpus, tmp_path):
+    out = str(tmp_path / "difflake")
+    wm_half = tiny_corpus.watermark // 2
+    main(["replay", "--sf-dir", SF, *EPD, "--out", out, "--partitions", "6",
+          "--watermark", str(wm_half)])
+    capsys.readouterr()
+    main(["replay", "--sf-dir", SF, *EPD, "--out", out, "--partitions", "6"])
+    capsys.readouterr()
+    got = _run(capsys, ["diff", "--out", out, "--from-gen", "1",
+                        "--to-gen", "2"])
+    assert got["total"] > 0
+    assert set(got["changes"]) <= {"added", "deleted", "updated"}
+    assert sum(got["changes"].values()) == got["total"]
+
+    dest = str(tmp_path / "diff_rows")
+    got2 = _run(capsys, ["diff", "--out", out, "--from-gen", "1",
+                         "--to-gen", "2", "--dest", dest])
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(dest)
+    assert rows.num_rows == got["total"]
