@@ -54,15 +54,17 @@ def load_generation_manifest(out_dir: str, generation: int) -> Manifest:
     return m
 
 
-def _read_keys(out_dir: str, entry) -> pd.DataFrame:
+def _read_keys(out_dir: str, entry, value_cols: list[str]) -> pd.DataFrame:
+    cols = ["url", "seq", *value_cols]
     if entry is None or entry.rows == 0:
-        return pd.DataFrame({"url": pd.Series(dtype="object"),
-                             "seq": pd.Series(dtype="int64")})
-    t = pq.read_table(os.path.join(out_dir, entry.file), columns=["url", "seq"])
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c == "seq" else "object")
+                             for c in cols})
+    t = pq.read_table(os.path.join(out_dir, entry.file), columns=cols)
     return t.to_pandas()
 
 
-def _diff_partition(a: pd.DataFrame, b: pd.DataFrame) -> pa.Table:
+def _diff_partition(a: pd.DataFrame, b: pd.DataFrame,
+                    value_cols: list[str]) -> pa.Table:
     m = a.merge(b, on="url", how="outer", suffixes=("_a", "_b"))
     added = m.seq_a.isna()
     deleted = m.seq_b.isna()
@@ -72,21 +74,37 @@ def _diff_partition(a: pd.DataFrame, b: pd.DataFrame) -> pa.Table:
     change = pd.Series("updated", index=m.index, dtype="object")
     change[m.seq_a.isna()] = "added"
     change[m.seq_b.isna()] = "deleted"
-    return pa.table({
+    out = {
         "url": pa.array(m.url, pa.string()),
         "change": pa.array(change, pa.string()),
         "seq_a": pa.array(m.seq_a, pa.int64()),
         "seq_b": pa.array(m.seq_b, pa.int64()),
-    })
+    }
+    for c in value_cols:
+        out[f"{c}_a"] = pa.array(m[f"{c}_a"], pa.string())
+        out[f"{c}_b"] = pa.array(m[f"{c}_b"], pa.string())
+    return pa.table(out)
 
 
-def lake_diff(out_dir: str, gen_a: int, gen_b: int) -> ray.data.Dataset:
+def _diff_schema(value_cols: list[str]) -> pa.Schema:
+    fields = list(DIFF_SCHEMA)
+    for c in value_cols:
+        fields += [pa.field(f"{c}_a", pa.string()), pa.field(f"{c}_b", pa.string())]
+    return pa.schema(fields)
+
+
+def lake_diff(out_dir: str, gen_a: int, gen_b: int,
+              value_cols: list[str] | None = None) -> ray.data.Dataset:
     """Changed urls between retained generations ``gen_a`` → ``gen_b``.
 
     Returns a Dataset of (url, change, seq_a, seq_b); rows whose winning
     event is identical in both generations never appear (and their
     partitions are never even read when the lineage checksum matches).
+    ``value_cols`` (string lake columns, e.g. ``["lang"]``) are carried
+    through as ``<col>_a`` / ``<col>_b`` — the inputs incremental view
+    maintenance needs (see ``maintain_counts``).
     """
+    value_cols = list(value_cols or [])
     ma = load_generation_manifest(out_dir, gen_a)
     mb = load_generation_manifest(out_dir, gen_b)
 
@@ -102,16 +120,18 @@ def lake_diff(out_dir: str, gen_a: int, gen_b: int) -> ray.data.Dataset:
                 continue
             work.append({"part": int(p)})
         if not work:
-            return ray.data.from_arrow(DIFF_SCHEMA.empty_table())
+            return ray.data.from_arrow(_diff_schema(value_cols).empty_table())
 
         def diff_one(batch: pd.DataFrame) -> pa.Table:
             out = []
             for row in batch.itertuples():
                 ea = ma.entry(row.part)
                 eb = mb.entry(row.part)
-                out.append(_diff_partition(_read_keys(out_dir, ea),
-                                           _read_keys(out_dir, eb)))
-            return pa.concat_tables(out) if out else DIFF_SCHEMA.empty_table()
+                out.append(_diff_partition(_read_keys(out_dir, ea, value_cols),
+                                           _read_keys(out_dir, eb, value_cols),
+                                           value_cols))
+            return (pa.concat_tables(out) if out
+                    else _diff_schema(value_cols).empty_table())
 
         # one task per changed partition — co-partitioned sides, no shuffle
         return ray.data.from_pandas(pd.DataFrame(work)).repartition(len(work)) \
@@ -121,19 +141,32 @@ def lake_diff(out_dir: str, gen_a: int, gen_b: int) -> ray.data.Dataset:
     # correctness fallback — key-hash co-group over both generations' files
     from ethereum_etl_ray.stages.joins import cogroup_join
 
-    def side(m: Manifest, col: str) -> ray.data.Dataset:
+    def side(m: Manifest, suffix: str) -> ray.data.Dataset:
+        rename = {"seq": f"seq{suffix}"}
+        rename.update({c: f"{c}{suffix}" for c in value_cols})
+        if suffix == "_b":
+            rename["url"] = "url_b"
         files = m.files(out_dir)
         if not files:
-            return ray.data.from_arrow(pa.table({
-                "url" if col == "seq_a" else "url_b": pa.array([], pa.string()),
-                col: pa.array([], pa.int64())}))
-        ds = ray.data.read_parquet(files, columns=["url", "seq"])
-        if col == "seq_a":
-            return ds.rename_columns({"seq": "seq_a"})
-        return ds.rename_columns({"url": "url_b", "seq": "seq_b"})
+            cols = {("url_b" if suffix == "_b" else "url"): pa.array([], pa.string()),
+                    f"seq{suffix}": pa.array([], pa.int64())}
+            cols.update({f"{c}{suffix}": pa.array([], pa.string())
+                         for c in value_cols})
+            return ray.data.from_arrow(pa.table(cols))
+        ds = ray.data.read_parquet(files, columns=["url", "seq", *value_cols])
+        return ds.rename_columns(rename)
 
     # full outer diff from one left join per direction, vectorized masks
-    a, b = side(ma, "seq_a"), side(mb, "seq_b")
+    a, b = side(ma, "_a"), side(mb, "_b")
+
+    def _vals(t: pa.Table, n: int, present: str) -> dict:
+        out = {}
+        for c in value_cols:
+            for s in ("_a", "_b"):
+                name = f"{c}{s}"
+                out[name] = (pc.cast(t.column(name), pa.string())
+                             if s in present else pa.nulls(n, pa.string()))
+        return out
 
     def from_a(t: pa.Table) -> pa.Table:
         # rows present in A: 'deleted' if absent in B, 'updated' if seq moved
@@ -147,6 +180,7 @@ def lake_diff(out_dir: str, gen_a: int, gen_b: int) -> ray.data.Dataset:
             "change": pc.if_else(deleted, pa.scalar("deleted"),
                                  pa.scalar("updated")),
             "seq_a": seq_a, "seq_b": seq_b,
+            **_vals(t, t.num_rows, "_a_b"),
         })
         return out.filter(keep)
 
@@ -158,6 +192,7 @@ def lake_diff(out_dir: str, gen_a: int, gen_b: int) -> ray.data.Dataset:
             "change": pa.array(["added"] * t.num_rows, pa.string()),
             "seq_a": pa.nulls(t.num_rows, pa.int64()),
             "seq_b": pc.cast(t.column("seq_b"), pa.int64()),
+            **_vals(t, t.num_rows, "_b"),
         })
         return out.filter(added)
 
@@ -166,3 +201,49 @@ def lake_diff(out_dir: str, gen_a: int, gen_b: int) -> ray.data.Dataset:
     added = cogroup_join(b, a, left_on="url_b", right_on="url", how="left") \
         .map_batches(from_b, batch_format="pyarrow", zero_copy_batch=True)
     return del_upd.union(added)
+
+
+def maintain_counts(prev: pa.Table, diff: ray.data.Dataset,
+                    group_col: str) -> ray.data.Dataset:
+    """Incremental view maintenance of ``SELECT group_col, count(*)``:
+    apply a generation diff's deltas to the previous materialized counts
+    instead of rescanning the lake.
+
+    Deltas per diff row: ``deleted``/``updated`` decrement ``<col>_a``'s
+    group, ``added``/``updated`` increment ``<col>_b``'s — computed
+    vectorized per batch, pre-aggregated inside the batch (combiner), then
+    one tiny groupby over (groups) rows. ``prev`` is the small materialized
+    aggregate (one row per group), entering via ``from_arrow`` — never the
+    lake. Groups whose net count reaches zero are dropped, matching a fresh
+    aggregate. The equivalence oracle (tests/test_diff.py) recomputes the
+    full aggregate at generation B."""
+    from ray.data.aggregate import Sum
+
+    def deltas(t: pa.Table) -> pa.Table:
+        change = t.column("change")
+        dec = pc.is_in(change, value_set=pa.array(["deleted", "updated"]))
+        inc = pc.is_in(change, value_set=pa.array(["added", "updated"]))
+        ga = t.filter(dec).column(f"{group_col}_a")
+        gb = t.filter(inc).column(f"{group_col}_b")
+        keys, ns = [], []
+        for col, sign in ((ga, -1), (gb, 1)):
+            if len(col) == 0:
+                continue
+            vc = pc.value_counts(pc.cast(col, pa.string()))
+            keys.append(vc.field("values"))
+            ns.append(pc.multiply(pc.cast(vc.field("counts"), pa.int64()),
+                                  pa.scalar(sign, pa.int64())))
+        if not keys:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({group_col: pa.concat_arrays([pc.cast(k, pa.string())
+                                                      for k in keys]),
+                         "n": pa.concat_arrays(ns)})
+
+    prev_tbl = pa.table({group_col: pc.cast(prev.column(group_col), pa.string()),
+                         "n": pc.cast(prev.column("n"), pa.int64())})
+    delta_ds = diff.map_batches(deltas, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    merged = ray.data.from_arrow(prev_tbl).union(delta_ds) \
+        .groupby(group_col).aggregate(Sum("n", alias_name="n"))
+    return merged.filter(expr="n != 0")

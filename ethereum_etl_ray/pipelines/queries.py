@@ -1300,6 +1300,34 @@ def q_lake_diff(sf_dir: str):
     return lake_diff(out, r1.manifest.generation, r2.manifest.generation)
 
 
+def q_incremental_lang_counts(sf_dir: str):
+    """Incremental view maintenance: per-lang lake counts at the full
+    watermark obtained by applying the generation diff's deltas to the
+    half-watermark aggregate — the lake is NOT rescanned for the second
+    window (only changed partitions are read, for (url, seq, lang)).
+    tests/test_diff.py proves equivalence with a full recompute."""
+    import pyarrow as pa
+
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.diff import lake_diff, maintain_counts
+    from ethereum_etl_ray.pipelines.replay import load_lake, replay
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    out = _cdc_out_dir(sf_dir, "ivm")
+    cfg = EngineConfig(num_partitions=32)
+    r1 = replay(corpus, out, cfg, watermark=corpus.watermark // 2)
+    prev_df = (load_lake(out).select_columns(["lang"])
+               .groupby("lang").count().to_pandas()
+               .rename(columns={"count()": "n"}))
+    prev = pa.table({"lang": pa.array(prev_df.lang, pa.string()),
+                     "n": pa.array(prev_df.n, pa.int64())})
+    r2 = replay(corpus, out, cfg)
+    diff = lake_diff(out, r1.manifest.generation, r2.manifest.generation,
+                     value_cols=["lang"])
+    return maintain_counts(prev, diff, "lang")
+
+
 # --------------------------------------------------------------------------
 # registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1365,6 +1393,7 @@ QUERIES = {
     "cdc_resume_tail": q_cdc_resume_tail,
     "cdc_bulk_load": q_cdc_bulk_load,
     "lake_diff": q_lake_diff,
+    "incremental_lang_counts": q_incremental_lang_counts,
     "stream_publish": q_stream_publish,
     "schema_evolution_audit": q_schema_evolution_audit,
 }

@@ -100,16 +100,70 @@ def test_diff_fallback_route_matches_fast_path(two_gen_lake):
     doctored = json.load(open(gen_path))
     doctored["num_partitions"] = 999  # entries untouched — same files
     json.dump(doctored, open(gen_path, "w"))
+    fast_v = lake_diff(out, g1, g2, value_cols=["lang"]) \
+        .to_pandas().sort_values("url")
     try:
         slow = lake_diff(out, g1, g2).to_pandas().sort_values("url")
+        slow_v = lake_diff(out, g1, g2, value_cols=["lang"]) \
+            .to_pandas().sort_values("url")
     finally:
         doctored["num_partitions"] = 8
         json.dump(doctored, open(gen_path, "w"))
     assert list(fast.url) == list(slow.url)
     assert list(fast.change) == list(slow.change)
+    # value columns survive the fallback route identically (NaN-safe compare)
+    for col in ("url", "change", "lang_a", "lang_b"):
+        fa, sl = list(fast_v[col].fillna("~")), list(slow_v[col].fillna("~"))
+        assert fa == sl, col
 
 
 def test_diff_missing_generation_raises(two_gen_lake):
     out, g1, g2, _ = two_gen_lake
     with pytest.raises(FileNotFoundError):
         lake_diff(out, 998877, g2)
+
+
+def _counts_at(out, gen):
+    import os
+
+    import pyarrow as pa
+
+    from ethereum_etl_ray.pipelines.diff import load_generation_manifest
+
+    m = load_generation_manifest(out, gen)
+    tabs = [pq.read_table(os.path.join(out, e.file), columns=["lang"])
+            for e in m.partitions.values() if e.rows > 0]
+    t = pa.concat_tables(tabs)
+    vc = pc.value_counts(pc.cast(t.column("lang"), pa.string()))
+    return {v["values"]: v["counts"] for v in vc.to_pylist()}
+
+
+def test_maintain_counts_equals_full_recompute(two_gen_lake):
+    """Incremental view maintenance: prev aggregate + diff deltas must equal
+    the aggregate recomputed from scratch at generation B."""
+    import pyarrow as pa
+
+    from ethereum_etl_ray.pipelines.diff import lake_diff, maintain_counts
+
+    out, g1, g2, _ = two_gen_lake
+    prev_counts = _counts_at(out, g1)
+    prev = pa.table({"lang": pa.array(list(prev_counts), pa.string()),
+                     "n": pa.array([prev_counts[k] for k in prev_counts],
+                                   pa.int64())})
+    diff = lake_diff(out, g1, g2, value_cols=["lang"])
+    got = {r.lang: int(r.n)
+           for r in maintain_counts(prev, diff, "lang").to_pandas().itertuples()}
+    assert got == _counts_at(out, g2)
+
+
+def test_diff_value_cols_carry_lake_values(two_gen_lake):
+    from ethereum_etl_ray.pipelines.diff import lake_diff
+
+    out, g1, g2, _ = two_gen_lake
+    df = lake_diff(out, g1, g2, value_cols=["lang"]).to_pandas()
+    assert {"lang_a", "lang_b"} <= set(df.columns)
+    # invariants per change type
+    assert df[df.change == "added"].lang_a.isna().all()
+    assert df[df.change == "deleted"].lang_b.isna().all()
+    upd = df[df.change == "updated"]
+    assert upd.lang_a.notna().all() and upd.lang_b.notna().all()
