@@ -141,6 +141,61 @@ def rep_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+def chunk_docs_batch(batch: pa.Table, window: int = 64, stride: int = 48,
+                     text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Split each document's token stream into fixed-window chunks with
+    overlap (the chunk-for-embedding / RAG-indexing step): chunk ``k`` covers
+    tokens ``[k·stride, min(k·stride + window, n_tokens))`` for every
+    ``k·stride < n_tokens`` — trailing chunks may be short, every token is
+    covered, consecutive chunks overlap by ``window - stride`` tokens.
+
+    Vectorized across the batch: one split, one fancy-gather (``take``) over
+    the flat token array, one ``binary_join`` — no per-document Python. Rows
+    multiply by ~n_tokens/stride; downstream batches stay bounded because
+    map_batches re-blocks the output.
+    """
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    text = batch.column(text_col).combine_chunks()
+    ids = batch.column(id_col)
+    ids_np = (ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+              else ids).to_numpy()
+    toks = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(toks)
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    lens = np.asarray(pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    n_chunks = -(-lens // stride)  # ceil; == #starts k·stride < n_tokens
+    n_chunks = np.maximum(n_chunks, 1)  # empty text still yields one chunk
+    doc_idx = np.repeat(np.arange(len(lens)), n_chunks)
+    before = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    k = np.arange(int(n_chunks.sum())) - np.repeat(before, n_chunks)
+    start = k * stride
+    end = np.minimum(start + window, lens[doc_idx])
+    clen = np.maximum(end - start, 0)
+    tok_before = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # gather every chunk's tokens from the flat stream in one take
+    total = int(clen.sum())
+    inner = np.arange(total) - np.repeat(np.cumsum(clen) - clen, clen)
+    gather = np.repeat(tok_before[doc_idx] + start, clen) + inner
+    taken = flat.take(pa.array(gather, pa.int64()))
+    offsets = np.concatenate(([0], np.cumsum(clen)))
+    # binary_join has list<string> kernels only (not large_list/large_string);
+    # int32 offsets bound one output batch's chunk text to <2 GiB — fine,
+    # map_batches re-blocks and the default batch is far smaller
+    if offsets[-1] >= np.iinfo(np.int32).max:
+        raise ValueError("chunk output exceeds 2 GiB in one batch; "
+                         "lower the map_batches batch_size")
+    chunks = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      pc.cast(taken, pa.string()))
+    return pa.table({
+        id_col: pa.array(ids_np[doc_idx], pa.int64()),
+        "chunk_id": pa.array(k, pa.int64()),
+        "chunk_text": pc.binary_join(chunks, " "),
+        "n_chunk_tokens": pa.array(clen, pa.int64()),
+    })
+
+
 def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text",
                           out_col: str = "fingerprint") -> pa.Table:
     """md5 hex fingerprint per document (matches SQL ``md5(text)``).

@@ -1252,6 +1252,23 @@ def q_rep_stats(sf_dir: str):
                              "top_tok_ppm"]))
 
 
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+def q_chunk_docs(sf_dir: str):
+    """Document chunking for embedding / RAG indexing: fixed 64-token
+    windows at stride 48 (16-token overlap), trailing chunks short, every
+    token covered. One split + one fancy-gather + one binary_join per batch
+    (functions/textstats.py:chunk_docs_batch); rows multiply ~n_tokens/48
+    and re-block downstream."""
+    from ethereum_etl_ray.functions.textstats import chunk_docs_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: chunk_docs_batch(t, window=_CHUNK_W, stride=_CHUNK_S),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 _PACK_BUDGET = 2000
 
 
@@ -1388,6 +1405,7 @@ QUERIES = {
     "normalize_part": q_normalize_part,
     "rep_stats": q_rep_stats,
     "pack_sequences": q_pack_sequences,
+    "chunk_docs": q_chunk_docs,
     "cdc_replay_full": q_cdc_replay_full,
     "cdc_replay_ignore": q_cdc_replay_ignore,
     "cdc_resume_tail": q_cdc_resume_tail,
@@ -1806,6 +1824,23 @@ ORACLE_SQL = {
                (sum(c) - count(*)) * 1000000 // sum(c) AS dup_ppm,
                max(c) * 1000000 // sum(c) AS top_tok_ppm
         FROM cnt GROUP BY doc_id
+    """,
+    "chunk_docs": f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 length(text) - length(replace(text, ' ', '')) + 1 AS ntok
+          FROM documents
+        ), starts AS (
+          SELECT doc_id, text, ntok,
+                 unnest(generate_series(1, ntok, {_CHUNK_S})) AS i
+          FROM d
+        )
+        SELECT doc_id, CAST((i - 1) // {_CHUNK_S} AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(string_split(text, ' '), i,
+                                          least(i + {_CHUNK_W} - 1, ntok)),
+                               ' ') AS chunk_text,
+               least(i + {_CHUNK_W} - 1, ntok) - i + 1 AS n_chunk_tokens
+        FROM starts
     """,
     "pack_sequences": f"""
         SELECT doc_id, n_tokens,

@@ -109,3 +109,51 @@ def test_pack_sequences_sparse_keys(ray_session):
     order = np.argsort(keys)
     cum = np.concatenate(([0], np.cumsum(w[order])[:-1]))
     assert (out.seq_id.to_numpy() == cum // 64).all()
+
+
+def test_chunk_docs_python_oracle():
+    from ethereum_etl_ray.functions.textstats import chunk_docs_batch
+
+    texts = ["", "a", "a b c", " ".join(f"t{i}" for i in range(25))]
+    t = _docs(texts)
+    out = chunk_docs_batch(t, window=10, stride=7).to_pylist()
+    expected = []
+    for doc_id, s in enumerate(texts):
+        toks = s.split(" ")
+        k = 0
+        while k * 7 < len(toks) or k == 0:
+            chunk = toks[k * 7:k * 7 + 10]
+            expected.append({"doc_id": doc_id, "chunk_id": k,
+                             "chunk_text": " ".join(chunk),
+                             "n_chunk_tokens": len(chunk)})
+            k += 1
+    assert out == expected
+
+
+def test_chunk_docs_overlap_and_coverage():
+    from ethereum_etl_ray.functions.textstats import chunk_docs_batch
+
+    toks = [f"w{i}" for i in range(100)]
+    t = _docs([" ".join(toks)])
+    rows = chunk_docs_batch(t, window=64, stride=48).to_pylist()
+    # consecutive chunks overlap by window - stride tokens
+    c0, c1 = rows[0]["chunk_text"].split(" "), rows[1]["chunk_text"].split(" ")
+    assert c0[48:] == c1[:16]
+    # every chunk is exactly its strided slice, and the union covers all tokens
+    seen = set()
+    for r in rows:
+        s = r["chunk_id"] * 48
+        assert r["chunk_text"].split(" ") == toks[s:s + 64]
+        seen.update(range(s, min(s + 64, 100)))
+    assert seen == set(range(100))
+
+
+def test_chunk_docs_rejects_bad_stride():
+    import pytest as _pytest
+
+    from ethereum_etl_ray.functions.textstats import chunk_docs_batch
+
+    with _pytest.raises(ValueError):
+        chunk_docs_batch(_docs(["a b"]), window=4, stride=0)
+    with _pytest.raises(ValueError):
+        chunk_docs_batch(_docs(["a b"]), window=4, stride=5)
