@@ -1269,6 +1269,17 @@ def q_chunk_docs(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_lm_score(sf_dir: str):
+    """CCNet-style bigram LM quality scoring: train unigram/bigram counts on
+    the corpus (one combiner-reduced pass), score each doc by its mean
+    bigram conditional in ppm (integer-exact; see pipelines/lm.py). Routes
+    broadcast-below / cogroup-join-above by distinct-bigram count."""
+    from ethereum_etl_ray.pipelines.lm import lm_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_score(ds)
+
+
 _PACK_BUDGET = 2000
 
 
@@ -1406,6 +1417,7 @@ QUERIES = {
     "rep_stats": q_rep_stats,
     "pack_sequences": q_pack_sequences,
     "chunk_docs": q_chunk_docs,
+    "lm_score": q_lm_score,
     "cdc_replay_full": q_cdc_replay_full,
     "cdc_replay_ignore": q_cdc_replay_ignore,
     "cdc_resume_tail": q_cdc_resume_tail,
@@ -1824,6 +1836,34 @@ ORACLE_SQL = {
                (sum(c) - count(*)) * 1000000 // sum(c) AS dup_ppm,
                max(c) * 1000000 // sum(c) AS top_tok_ppm
         FROM cnt GROUP BY doc_id
+    """,
+    "lm_score": """
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 length(text) - length(replace(text, ' ', '')) + 1 AS ntok
+          FROM documents
+        ), big AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, ntok - 1)) AS i
+                FROM d WHERE ntok >= 2)
+        ), c2 AS (
+          SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2
+        ), c1 AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w
+        ), scored AS (
+          SELECT b.doc_id, c2.c * 1000000 // c1.c AS cond_ppm
+          FROM big b
+          JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+          JOIN c1 ON c1.w = b.w1
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               sum(cond_ppm) // count(*) AS lm_score_ppm
+        FROM scored GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, 0 AS n_bigrams, 0 AS lm_score_ppm
+        FROM d WHERE ntok < 2
     """,
     "chunk_docs": f"""
         WITH d AS (
