@@ -20,9 +20,8 @@ Scale shape:
           the shuffle moves one row per (batch, distinct gram), never raw
           tokens. Counts tables are vocabulary-sized, not corpus-sized.
   score   broadcast route (default below ``broadcast_threshold`` distinct
-          bigrams): counts ship once via ray.put as sorted key arrays, each
-          batch scores itself with two np.searchsorted lookups — zero
-          shuffle. Above the gate: distributed route — explode bigram rows,
+          bigrams): counts ship once via ray.put, each batch scores itself
+          with two hash-based Arrow ``index_in`` lookups — zero shuffle. Above the gate: distributed route — explode bigram rows,
           two cogroup joins against the count Datasets, one groupby(doc).
           Same exact-below / distributed-above pattern as the engine's
           other gates (README "Scale design notes"); both routes are
@@ -95,7 +94,11 @@ def train_bigram_counts(ds: ray.data.Dataset, *, text_col: str = "text",
 
     counts = (ds.map_batches(partials, batch_format="pyarrow",
                              zero_copy_batch=True)
-              .groupby(["kind", "gram"]).aggregate(Sum("c", alias_name="c")))
+              .groupby(["kind", "gram"]).aggregate(Sum("c", alias_name="c"))
+              # vocabulary-sized by construction — safe to pin, and it stops
+              # every downstream consumer (count probe, two filter views)
+              # from re-executing the full corpus pass through lineage
+              .materialize())
     uni = counts.filter(expr="kind == 0").select_columns(["gram", "c"])
     bi = counts.filter(expr="kind == 1").select_columns(["gram", "c"])
     return uni, bi
@@ -123,18 +126,18 @@ def lm_score(ds: ray.data.Dataset, *, text_col: str = "text",
     joins above it.
     """
     uni_ds, bi_ds = train_bigram_counts(ds, text_col=text_col, id_col=id_col)
+    # probe the gate on a cheap count of the (small) bigram table; above the
+    # gate the count Datasets are reused as join sides WITHOUT collecting
     n_bi = bi_ds.count()
 
     if n_bi <= broadcast_threshold:
-        uni = uni_ds.to_pandas()
-        bi = bi_ds.to_pandas()
+        def pack(df: pd.DataFrame):
+            return (pa.array(df.gram, pa.string()),
+                    df.c.to_numpy().astype(np.int64))
 
-        def pack(df):
-            order = np.argsort(df.gram.to_numpy())
-            return (df.gram.to_numpy()[order].astype(object),
-                    df.c.to_numpy()[order].astype(np.int64))
-
-        ref = ray.put((pack(uni), pack(bi)))
+        # cheap: the upstream counts Dataset is materialized, so these
+        # collect vocabulary-sized tables without re-running the train pass
+        ref = ray.put((pack(uni_ds.to_pandas()), pack(bi_ds.to_pandas())))
 
         def score(t: pa.Table) -> pa.Table:
             (uk, uc), (bk, bc) = ray.get(ref)
@@ -143,10 +146,9 @@ def lm_score(ds: ray.data.Dataset, *, text_col: str = "text",
             if len(keys) == 0:
                 return _score_table(ids_np, np.array([], dtype=np.int64),
                                     np.array([], dtype=np.int64), len(ids_np))
-            karr = np.asarray(keys.to_pylist(), dtype=object)
-            w1 = np.asarray(w1f.to_pylist(), dtype=object)
-            c2 = bc[np.searchsorted(bk, karr)]
-            c1 = uc[np.searchsorted(uk, w1)]
+            # hash-based Arrow lookups — no Python objects in the hot path
+            c2 = bc[_ca(pc.index_in(keys, value_set=bk)).to_numpy()]
+            c1 = uc[_ca(pc.index_in(w1f, value_set=uk)).to_numpy()]
             cond = c2 * 1_000_000 // c1
             return _score_table(ids_np, bdoc, cond, len(ids_np))
 
