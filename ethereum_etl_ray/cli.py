@@ -135,6 +135,30 @@ def cmd_restore(args):
                       "partitions": len(m.partitions)}))
 
 
+def cmd_curate(args):
+    """End-to-end corpus curation (lang+quality filter → exact dedup →
+    near-dedup keep-one → optional hash-split sample / token budget) from a
+    documents parquet to a curated parquet, with a per-stage survivor
+    report. The training-data counterpart of the reference's extract→export
+    chain (src/tasks/dag.py)."""
+    _ray_up(args.num_cpus)
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.curate import curate_corpus
+
+    docs = ray.data.read_parquet(args.docs)
+    out, report = curate_corpus(
+        docs,
+        langs=tuple(args.langs.split(",")),
+        min_quality_ppm=args.min_quality_ppm,
+        sample_hex_lt=args.sample_hex_lt,
+        token_budget=args.token_budget,
+        collect_report=True,
+    )
+    out.write_parquet(args.dest)
+    print(json.dumps({"dest": args.dest, "stages": report}))
+
+
 def cmd_diff(args):
     """Changed urls between two retained manifest generations (incremental
     CDC consumer surface; the distributed analogue of diffing the
@@ -224,6 +248,17 @@ def main(argv=None):
     sp.add_argument("--watermark", type=int, default=None)
     sp.add_argument("--generation", type=int, default=None)
     sp.set_defaults(fn=cmd_restore)
+
+    sp = sub.add_parser("curate", help="documents parquet -> curated corpus parquet")
+    sp.add_argument("--docs", required=True,
+                    help="input documents parquet (doc_id, text, lang, ...)")
+    sp.add_argument("--dest", required=True)
+    sp.add_argument("--langs", default="en", help="comma-separated keep list")
+    sp.add_argument("--min-quality-ppm", type=int, default=0)
+    sp.add_argument("--sample-hex-lt", default=None,
+                    help="md5 hash-split prefix, e.g. '4' keeps ~4/16")
+    sp.add_argument("--token-budget", type=int, default=None)
+    sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("diff", help="changed urls between two retained generations")
     sp.add_argument("--out", required=True)

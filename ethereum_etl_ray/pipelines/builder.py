@@ -114,3 +114,45 @@ SINKS: dict[str, Callable[[ray.data.Dataset, str], Any]] = {
 
 def register_sink(name: str, fn: Callable[[ray.data.Dataset, str], Any]) -> None:
     SINKS[name] = fn
+
+
+# --- named text-stage registry (corpus-prep building blocks) ----------------
+# The webtext analogue of the reference's per-entity extract function table
+# (src/tasks/dag.py:32-76): every corpus-preparation operator is registered
+# under a stable name so user pipelines compose them without imports, e.g.
+#   Pipeline().then(TEXT_STAGES["normalize"]).then(TEXT_STAGES["pii_redact"])
+def _text_stages() -> dict[str, Callable[[pa.Table], pa.Table]]:
+    from ethereum_etl_ray.functions.redact import (
+        normalize_text_batch,
+        redact_pii_batch,
+    )
+    from ethereum_etl_ray.functions.textstats import (
+        chunk_docs_batch,
+        lang_scores_batch,
+        md5_fingerprint_batch,
+        quality_batch,
+        rep_stats_batch,
+        rolling_fingerprint_batch,
+    )
+
+    return {
+        "normalize": lambda t: normalize_text_batch(t, "text", "norm"),
+        "pii_redact": lambda t: redact_pii_batch(t, text_col="text",
+                                                 out_col="clean"),
+        "rep_stats": rep_stats_batch,
+        "quality": quality_batch,
+        "lang_id": lang_scores_batch,
+        "fingerprint": md5_fingerprint_batch,
+        "winnow": rolling_fingerprint_batch,
+        "chunk": chunk_docs_batch,
+    }
+
+
+TEXT_STAGES: dict[str, Callable[[pa.Table], pa.Table]] = {}
+
+
+def text_stage(name: str) -> Callable[[pa.Table], pa.Table]:
+    """Fetch a registered corpus-prep stage by name (loads lazily)."""
+    if not TEXT_STAGES:
+        TEXT_STAGES.update(_text_stages())
+    return TEXT_STAGES[name]

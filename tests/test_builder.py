@@ -69,3 +69,29 @@ def test_sink_registry(tmp_path):
         assert list((tmp_path / "csvout").glob("*.csv"))
     finally:
         SINKS.pop("memory", None)
+
+
+def test_text_stage_registry_composes(ray_session):
+    """Corpus-prep stages compose by NAME through Pipeline — the per-entity
+    function-table extension surface applied to the webtext operators."""
+    import pyarrow as pa
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.builder import Pipeline, text_stage
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["The  CAT sat", "reach me at a@b.co now"],
+    }))
+    out = (Pipeline()
+           .then(text_stage("normalize"))
+           .then(text_stage("pii_redact"))
+           .then(text_stage("rep_stats"))
+           .build(ds)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out.norm) == ["the cat sat", "reach me at a@b.co now"]
+    assert out.clean.iloc[1] == "reach me at <EMAIL> now"
+    assert {"n_tokens", "dup_ppm", "top_tok_ppm"} <= set(out.columns)
+    # every registered stage is loadable
+    for name in ["quality", "lang_id", "fingerprint", "winnow", "chunk"]:
+        assert callable(text_stage(name))

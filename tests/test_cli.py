@@ -134,3 +134,22 @@ def test_cli_diff_counts_and_parquet(capsys, tiny_corpus, tmp_path):
 
     rows = pq.read_table(dest)
     assert rows.num_rows == got["total"]
+
+
+def test_cli_curate_writes_report_and_parquet(capsys, tmp_path):
+    dest = str(tmp_path / "curated")
+    got = _run(capsys, ["curate", "--docs", SF + "/documents.parquet",
+                        "--dest", dest, "--langs", "en,fr",
+                        "--min-quality-ppm", "1"])
+    assert got["dest"] == dest
+    stages = got["stages"]
+    assert stages["input"] > 0
+    assert 0 < stages["after_near_dedup"] <= stages["after_exact_dedup"] \
+        <= stages["after_lang_quality"] <= stages["input"]
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    rows = sum(pq.read_metadata(f).num_rows
+               for f in _glob.glob(dest + "/*.parquet"))
+    assert rows == stages["output"]
