@@ -187,6 +187,26 @@ def cmd_retention(args):
     print(json.dumps(apply_retention(args.out, keep_ratio=args.keep_ratio)))
 
 
+def cmd_delete(args):
+    """Predicate delete over the lake (ALTER TABLE ... DELETE analogue).
+    --value is parsed as int, then float, then string; --op 'in'/'not in'
+    takes a comma-separated list."""
+    _ray_up(args.num_cpus)
+    from ethereum_etl_ray.pipelines.retention import delete_where
+
+    def parse(v: str):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    value = ([parse(v) for v in args.value.split(",")]
+             if args.op in ("in", "not in") else parse(args.value))
+    print(json.dumps(delete_where(args.out, args.column, args.op, value)))
+
+
 def cmd_export(args):
     """Lake → CSV export (reference X6: `COPY table TO file`,
     src/repositories/sqlite/base.py:177-185). Binary html is hex-encoded or
@@ -272,6 +292,14 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.add_argument("--keep-ratio", type=float, default=0.9)
     sp.set_defaults(fn=cmd_retention)
+
+    sp = sub.add_parser("delete", help="predicate delete (ALTER TABLE ... DELETE)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--column", required=True)
+    sp.add_argument("--op", required=True,
+                    choices=["==", "!=", "<", "<=", ">", ">=", "in", "not in"])
+    sp.add_argument("--value", required=True)
+    sp.set_defaults(fn=cmd_delete)
 
     sp = sub.add_parser("export", help="lake -> CSV (reference X6 COPY TO)")
     sp.add_argument("--out", required=True)

@@ -323,3 +323,96 @@ def _apply_retention_locked(out_dir: str, manifest, keep_ratio: float) -> dict:
     commit_manifest(out_dir, manifest)
     return {"evicted": int(stats.evicted.sum()),
             "partitions_rewritten": len(stats)}
+
+
+# --------------------------------------------------------------------------
+# predicate delete (the ALTER TABLE ... DELETE analogue)
+# --------------------------------------------------------------------------
+
+_DELETE_OPS = {
+    "==": lambda col, v: pc.equal(col, v),
+    "!=": lambda col, v: pc.not_equal(col, v),
+    "<": lambda col, v: pc.less(col, v),
+    "<=": lambda col, v: pc.less_equal(col, v),
+    ">": lambda col, v: pc.greater(col, v),
+    ">=": lambda col, v: pc.greater_equal(col, v),
+    "in": lambda col, v: pc.is_in(col, value_set=pa.array(v)),
+    "not in": lambda col, v: pc.invert(pc.is_in(col, value_set=pa.array(v))),
+}
+
+
+def delete_where(out_dir: str, column: str, op: str, value) -> dict:
+    """Delete every lake row matching ``column <op> value`` — the engine's
+    mutation-maintenance surface (the reference's ClickHouse/SQLite targets
+    run these as ``ALTER TABLE ... DELETE`` / ``DELETE FROM``; cf. the A8
+    retention DDL, SURVEY §2.3).
+
+    Partition-parallel, no shuffle: each task reads one partition file,
+    filters, and atomically rewrites it ONLY when it holds matches
+    (match-free partitions keep their file and lineage checksum untouched).
+    Commits a new manifest generation under the replay lock, so the
+    pre-delete state stays restorable (``cli restore``) until its
+    generation ages out. Null comparisons are never matches (Kleene
+    semantics) — nulls survive every delete predicate.
+    """
+    import hashlib
+
+    from ethereum_etl_ray.state.manifest import (
+        acquire_replay_lock,
+        gc_uncommitted,
+        release_replay_lock,
+    )
+
+    if op not in _DELETE_OPS:
+        raise ValueError(f"op must be one of {sorted(_DELETE_OPS)}, got {op!r}")
+    lock = acquire_replay_lock(out_dir)
+    try:
+        manifest = load_manifest(out_dir)  # snapshot under the lock
+        if manifest is None:
+            raise FileNotFoundError(f"no committed manifest in {out_dir}")
+        wm = manifest.watermark
+        tag = hashlib.sha1(f"{column}|{op}|{value!r}".encode()).hexdigest()[:8]
+        entries = [(int(p), e) for p, e in manifest.partitions.items()
+                   if e.rows > 0]
+        if not entries:
+            return {"deleted": 0, "partitions_rewritten": 0}
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            out = []
+            for part in batch.column("part").to_pylist():
+                entry = dict(entries)[part]
+                t = pq.read_table(os.path.join(out_dir, entry.file))
+                match = pc.fill_null(
+                    _DELETE_OPS[op](t.column(column), value), False)
+                n_match = pc.sum(pc.cast(match, pa.int64())).as_py() or 0
+                if n_match == 0:
+                    out.append({"part": part, "rows": t.num_rows,
+                                "checksum": entry.checksum, "file": entry.file,
+                                "deleted": 0})
+                    continue
+                kept = t.filter(pc.invert(match))
+                rel = os.path.join(f"part={part:05d}",
+                                   f"data-{wm}-d{tag}.parquet")
+                atomic_write_table(kept, os.path.join(out_dir, rel))
+                checksum = content_checksum(kept.column("url"),
+                                            kept.column("text"),
+                                            kept.column("seq"))
+                out.append({"part": part, "rows": kept.num_rows,
+                            "checksum": str(checksum), "file": rel,
+                            "deleted": n_match})
+            return pa.Table.from_pylist(out)
+
+        stats = (ray.data.from_items([{"part": p} for p, _ in entries])
+                 .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
+                 .to_pandas())
+        for row in stats.itertuples(index=False):
+            manifest.partitions[str(int(row.part))] = PartitionEntry(
+                file=row.file, rows=int(row.rows), checksum=row.checksum,
+                watermark=wm)
+        commit_manifest(out_dir, manifest)
+        removed = gc_uncommitted(out_dir)
+        return {"deleted": int(stats.deleted.sum()),
+                "partitions_rewritten": int((stats.deleted > 0).sum()),
+                "gc_removed": len(removed)}
+    finally:
+        release_replay_lock(lock)

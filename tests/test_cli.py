@@ -153,3 +153,15 @@ def test_cli_curate_writes_report_and_parquet(capsys, tmp_path):
     rows = sum(pq.read_metadata(f).num_rows
                for f in _glob.glob(dest + "/*.parquet"))
     assert rows == stages["output"]
+
+
+def test_cli_delete_predicate(capsys, tiny_corpus, tmp_path):
+    out = str(tmp_path / "dellake")
+    main(["replay", "--sf-dir", SF, *EPD, "--out", out, "--partitions", "6"])
+    capsys.readouterr()
+    before = load_lake(out).to_pandas()
+    lang = before.lang.mode()[0]
+    got = _run(capsys, ["delete", "--out", out, "--column", "lang",
+                        "--op", "==", "--value", lang])
+    assert got["deleted"] == int((before.lang == lang).sum()) > 0
+    assert load_lake(out).count() == len(before) - got["deleted"]

@@ -86,3 +86,67 @@ def test_gc_removes_superseded_files_only_after_history_expires(lake):
     removed = gc_uncommitted(lake)
     assert removed  # the pre-retention partition files, finally collectable
     assert load_lake(lake).count() > 0
+
+
+class TestDeleteWhere:
+    @pytest.fixture(scope="class")
+    def del_lake(self, tmp_path_factory, tiny_corpus):
+        from ethereum_etl_ray.config import EngineConfig
+        from ethereum_etl_ray.pipelines.replay import replay
+
+        out = str(tmp_path_factory.mktemp("del_lake"))
+        replay(tiny_corpus, out, EngineConfig(num_partitions=6))
+        return out
+
+    def test_delete_matches_pandas_filter(self, del_lake):
+        from ethereum_etl_ray.pipelines.replay import load_lake
+        from ethereum_etl_ray.pipelines.retention import delete_where
+
+        before = load_lake(del_lake).to_pandas()
+        lang = before.lang.mode()[0]
+        n_match = int((before.lang == lang).sum())
+        stats = delete_where(del_lake, "lang", "==", lang)
+        assert stats["deleted"] == n_match > 0
+        after = load_lake(del_lake).to_pandas()
+        assert len(after) == len(before) - n_match
+        assert (after.lang != lang).all()
+        # untouched rows are byte-identical
+        keep = before[before.lang != lang].sort_values("url")
+        after = after.sort_values("url")
+        assert list(after.url) == list(keep.url)
+        assert list(after.text) == list(keep.text)
+
+    def test_match_free_partitions_keep_lineage(self, del_lake):
+        from ethereum_etl_ray.pipelines.retention import delete_where
+        from ethereum_etl_ray.state.manifest import load_manifest
+
+        m0 = load_manifest(del_lake)
+        stats = delete_where(del_lake, "lang", "==", "no-such-lang")
+        assert stats["deleted"] == 0 and stats["partitions_rewritten"] == 0
+        m1 = load_manifest(del_lake)
+        assert {p: e.checksum for p, e in m0.partitions.items()} == \
+            {p: e.checksum for p, e in m1.partitions.items()}
+        assert {p: e.file for p, e in m0.partitions.items()} == \
+            {p: e.file for p, e in m1.partitions.items()}
+
+    def test_delete_is_restorable(self, del_lake):
+        from ethereum_etl_ray.pipelines.replay import load_lake
+        from ethereum_etl_ray.pipelines.retention import delete_where
+        from ethereum_etl_ray.state.manifest import (
+            load_manifest,
+            restore_generation,
+        )
+
+        n_before = load_lake(del_lake).count()
+        gen_before = load_manifest(del_lake).generation
+        stats = delete_where(del_lake, "seq", ">=", 0)  # delete ~everything
+        assert stats["deleted"] > 0
+        assert load_lake(del_lake).count() < n_before
+        restore_generation(del_lake, generation=gen_before)
+        assert load_lake(del_lake).count() == n_before
+
+    def test_bad_op_raises(self, del_lake):
+        from ethereum_etl_ray.pipelines.retention import delete_where
+
+        with pytest.raises(ValueError):
+            delete_where(del_lake, "lang", "like", "x")
