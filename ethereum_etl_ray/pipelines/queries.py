@@ -585,6 +585,19 @@ def q_ann_ivf_persisted(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_ann_quantized_topk(sf_dir: str):
+    """Approximate top-k over the int8-quantized corpus (4× smaller index;
+    int32-accumulated integer dot products). Rows-only at the driver:
+    quantization is approximate by design — tests/test_quantize.py carries
+    the recall@k ≥ 0.8 oracle vs the exact float top-k, exactness on
+    separated clusters, and the persisted-index round-trip."""
+    from ethereum_etl_ray.stages.quantize import quantized_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return quantized_topk(ds, ids, mat, k=_TOPK)
+
+
 def q_minhash_lsh_pairs(sf_dir: str):
     from ethereum_etl_ray.pipelines.dedup import minhash_lsh_dedup_pairs
 
@@ -1357,6 +1370,114 @@ def q_incremental_lang_counts(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# URL parsing / per-domain aggregation (the webtext key machinery)
+# --------------------------------------------------------------------------
+
+
+def _build_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic URL per document, derived from (doc_id, source) —
+    mixed-case hosts, default/non-default ports, queries and fragments so the
+    parser has something to normalize. The SQL oracle reconstructs the PARSED
+    fields constructively from the same arithmetic; the engine must recover
+    them by actually parsing the assembled string."""
+    ids = batch.column("doc_id").to_numpy()
+    src = batch.column("source").to_numpy(zero_copy_only=False).astype(str)
+    scheme = np.where(ids % 2 == 0, "http", "https")
+    sub = np.where(ids % 3 == 0, "M.", "www.")
+    host = np.char.add(np.char.add(sub, np.char.upper(src)), ".Org")
+    port = np.select([ids % 10 == 0, ids % 10 == 5], [":8080", ":443"], "")
+    path = np.char.add("/d/", (ids % 100).astype(str))
+    query = np.where(ids % 4 == 0, np.char.add("?ref=", src), "")
+    frag = np.where(ids % 7 == 0, "#top", "")
+    url = np.char.add(scheme, "://")
+    for part in (host, port, path, query, frag):
+        url = np.char.add(url, part.astype(str))
+    return batch.append_column("url", pa.array(url, pa.string()))
+
+
+def q_url_parse(sf_dir: str):
+    """URL parse + canonicalization (webtext key machinery — the reference
+    keys rows on 0x-hex addresses, SURVEY §1.4; a web CDC lake keys on the
+    canonical URL): lowercase scheme/host, default port stripped, fragment
+    dropped, registrable domain extracted. One RE2 extract per batch."""
+    from ethereum_etl_ray.functions.url import (
+        canonicalize_urls_batch,
+        parse_urls_batch,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _build_urls(batch)
+        batch = parse_urls_batch(batch)
+        batch = canonicalize_urls_batch(batch)
+        return batch.select(["doc_id", "scheme", "host", "port", "domain",
+                             "canonical_url"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-registrable-domain corpus stats (crawl-politeness / quota view):
+    doc count, distinct host count, total chars. Combiner-bounded: per-batch
+    (domain, host) partials → one small groupby → one tiny groupby."""
+    from ethereum_etl_ray.functions.url import parse_urls_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = parse_urls_batch(_build_urls(batch))
+        df = batch.select(["domain", "host", "n_chars"]).to_pandas()
+        agg = df.groupby(["domain", "host"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def one_host(batch: pa.Table) -> pa.Table:
+        return batch.append_column("n_hosts",
+                                   pa.array(np.ones(batch.num_rows, np.int64)))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["domain", "host"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars"))
+            .map_batches(one_host, batch_format="pyarrow")
+            .groupby("domain")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_hosts", alias_name="n_hosts"),
+                       Sum("sum_chars", alias_name="sum_chars")))
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: per-corpus-doc count of 5-gram overlaps
+    with the eval 'benchmark' (docs with doc_id % 37 == 0). The benchmark's
+    distinct grams broadcast once; the corpus is audited with one vectorized
+    is_in per batch — zero shuffle over the corpus."""
+    from ethereum_etl_ray.pipelines.decontam import decontaminate
+
+    def _mod_filter(want_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = (t.column("doc_id").to_numpy() % 37 == 0) == want_bench
+            return t.filter(pa.array(mask))
+        return fn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    corpus = docs.map_batches(_mod_filter(False), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return decontaminate(corpus, bench, n=5)
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global corpus shuffle: every document's 1-based position
+    in the md5(doc_id) permutation — reproducible across runs, engines and
+    partitionings (epoch ordering / shard assignment). No global sort: digest
+    range-bucketing + per-bucket rank (stages/shuffle.py)."""
+    from ethereum_etl_ray.stages.shuffle import deterministic_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return deterministic_shuffle(ds, key_col="doc_id", out_col="pos")
+
+
+# --------------------------------------------------------------------------
 # registry + DuckDB oracles
 # --------------------------------------------------------------------------
 
@@ -1392,6 +1513,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "ann_quantized_topk": q_ann_quantized_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "connected_components": q_connected_components,
     "near_dedup_keep": q_near_dedup_keep,
@@ -1412,6 +1534,10 @@ QUERIES = {
     "random_sample": q_random_sample,
     "deterministic_sample": q_deterministic_sample,
     "cap_per_key": q_cap_per_key,
+    "url_parse": q_url_parse,
+    "domain_stats": q_domain_stats,
+    "decontaminate": q_decontaminate,
+    "shuffle_rank": q_shuffle_rank,
     "pii_redact": q_pii_redact,
     "normalize_part": q_normalize_part,
     "rep_stats": q_rep_stats,
@@ -1793,6 +1919,72 @@ ORACLE_SQL = {
                  ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)
                  AS n_bpe_tokens
         FROM documents
+    """,
+    # the oracle reconstructs parsed URL fields constructively from the same
+    # (doc_id, source) arithmetic the builder uses; the engine must recover
+    # them by parsing the assembled string (functions/url.py)
+    "url_parse": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+               (CASE WHEN doc_id % 3 = 0 THEN 'm.' ELSE 'www.' END)
+                 || lower(source) || '.org' AS host,
+               CASE WHEN doc_id % 10 = 0 THEN '8080'
+                    WHEN doc_id % 10 = 5 THEN '443' ELSE NULL END AS port,
+               lower(source) || '.org' AS domain,
+               (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                 || '://'
+                 || (CASE WHEN doc_id % 3 = 0 THEN 'm.' ELSE 'www.' END)
+                 || lower(source) || '.org'
+                 || (CASE WHEN doc_id % 10 = 0 THEN ':8080' ELSE '' END)
+                 || '/d/' || (doc_id % 100)
+                 || (CASE WHEN doc_id % 4 = 0 THEN '?ref=' || source ELSE '' END)
+                 AS canonical_url
+        FROM documents
+    """,
+    "domain_stats": """
+        WITH parsed AS (
+          SELECT lower(source) || '.org' AS domain,
+                 (CASE WHEN doc_id % 3 = 0 THEN 'm.' ELSE 'www.' END)
+                   || lower(source) || '.org' AS host,
+                 n_chars
+          FROM documents
+        )
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM parsed GROUP BY domain
+    """,
+    # md5-hex ordering is identical in both engines (lowercase hex); the
+    # doc_id tiebreak is unreachable for distinct keys but keeps the SQL total
+    "shuffle_rank": """
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                 AS pos
+        FROM documents
+    """,
+    # benchmark = doc_id % 37 == 0; corpus-side hits are instance-level,
+    # benchmark grams distinct — mirrors pipelines/decontam.py exactly.
+    # DuckDB list slice l[i:j] is 1-based inclusive: t[i:i+4] is a 5-gram.
+    "decontaminate": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+          FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+        hits AS (
+          SELECT gr.doc_id, count(*) AS n
+          FROM grams gr JOIN bench b ON gr.g = b.g
+          WHERE gr.doc_id % 37 <> 0
+          GROUP BY gr.doc_id
+        )
+        SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 37 <> 0
     """,
     # nested replaces mirror the engine's contract order: emails, then IPs,
     # then phones (both engines execute RE2, so patterns are byte-identical)
