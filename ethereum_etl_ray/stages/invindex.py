@@ -1,0 +1,95 @@
+"""Inverted index: token → (doc_id, tf) postings, persisted bucket-partitioned.
+
+The retrieval-side primitive of a text lake (BM25 candidates, keyword
+filters, contamination spot-checks). Build is one pass: per-batch
+(token, doc_id, tf) explode — exact, since a document is one row and never
+splits across batches — then hive-partitioned Parquet by ``tok_bucket =
+hash64(token) % buckets``. A term lookup reads ONLY its terms' bucket
+directories (file-level prune, the same layout discipline as the persisted
+IVF index in stages/ann.py:185) and then row-filters with one vectorized
+``is_in``.
+
+Scale: the explode is one split + one C-speed groupby per batch, the build
+shuffles nothing (write-partitioning fans out at the sink); a lookup touches
+``#distinct-term-buckets / buckets`` of the index. Raise ``buckets`` so one
+bucket directory stays at a few hundred MB at corpus scale.
+
+Reference analogue: none (SURVEY §2.8 — the reference has no search-side
+structures); the keyed-lake layout mirrors its PRIMARY-KEY identity (§1.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ethereum_etl_ray.functions.hashing import partition_ids
+
+_META = "invindex_meta.json"
+
+
+def doc_term_batch(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Explode documents into ``(token, doc_id, tf)`` term-frequency rows.
+    One whitespace split + one C-speed (token, doc) groupby per batch."""
+    text = batch.column(text_col).combine_chunks()
+    ids = batch.column(id_col)
+    ids_np = (ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+              else ids).to_numpy()
+    toks = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(ids_np)), lens)
+    df = pd.DataFrame({"token": flat.to_pandas(), "doc_id": ids_np[doc_idx]})
+    df = df[df.token != ""]  # empty docs split to [""] — not a term
+    g = df.groupby(["token", "doc_id"], sort=False).size().reset_index(name="tf")
+    return pa.table({"token": pa.array(g.token, pa.string()),
+                     "doc_id": pa.array(g.doc_id, pa.int64()),
+                     "tf": pa.array(g.tf, pa.int64())})
+
+
+def build_inverted_index(ds: ray.data.Dataset, index_dir: str, *,
+                         buckets: int = 64, text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """One pass: explode to postings, stamp ``tok_bucket``, write
+    hive-partitioned Parquet (one directory per bucket)."""
+
+    def stamp(t: pa.Table) -> pa.Table:
+        b = partition_ids(t.column("token"), buckets)
+        return t.append_column("tok_bucket", pa.array(b, pa.int32()))
+
+    postings = (ds.select_columns([id_col, text_col])
+                .map_batches(lambda b: doc_term_batch(b, text_col, id_col),
+                             batch_format="pyarrow", zero_copy_batch=True)
+                .map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True))
+    os.makedirs(index_dir, exist_ok=True)
+    postings.write_parquet(index_dir, partition_cols=["tok_bucket"])
+    with open(os.path.join(index_dir, _META), "w") as f:
+        json.dump({"buckets": buckets}, f)
+
+
+def lookup_postings(index_dir: str, terms: list[str]) -> ray.data.Dataset:
+    """Postings for ``terms``: reads only the terms' bucket directories,
+    then one vectorized ``is_in`` row filter."""
+    meta = json.load(open(os.path.join(index_dir, _META)))
+    want = sorted(set(partition_ids(list(terms), meta["buckets"]).tolist()))
+    dirs = [os.path.join(index_dir, f"tok_bucket={b}") for b in want]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    term_arr = pa.array(sorted(set(terms)), pa.string())
+    if not files:
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64())}))
+    return (ray.data.read_parquet(files, columns=["token", "doc_id", "tf"])
+            .map_batches(
+                lambda t: t.filter(pc.is_in(t.column("token"),
+                                            value_set=term_arr)),
+                batch_format="pyarrow", zero_copy_batch=True))
