@@ -598,6 +598,19 @@ def q_ann_quantized_topk(sf_dir: str):
     return quantized_topk(ds, ids, mat, k=_TOPK)
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantized top-k (m=16 one-byte subspaces — 16 bytes/vector vs
+    256 float32; ADC lookup-table scoring). Rows-only at the driver: PQ is
+    approximate by design — tests/test_pq.py carries the planted-near-dup,
+    cluster-membership, and persisted round-trip oracles."""
+    from ethereum_etl_ray.stages.quantize import pq_topk, pq_train
+
+    ids, mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, m=16, k=64, iters=4)
+    return pq_topk(ds, ids, mat, books, k=_TOPK)
+
+
 def q_minhash_lsh_pairs(sf_dir: str):
     from ethereum_etl_ray.pipelines.dedup import minhash_lsh_dedup_pairs
 
@@ -1477,6 +1490,29 @@ def q_shuffle_rank(sf_dir: str):
     return deterministic_shuffle(ds, key_col="doc_id", out_col="pos")
 
 
+def q_inverted_postings(sf_dir: str):
+    """Inverted-index build + bucket-pruned term lookup: postings
+    (token, doc_id, tf) for three fixed query terms, read from a
+    hive-partitioned index that prunes at the bucket-directory level
+    (stages/invindex.py). The oracle recomputes the same postings with a
+    SQL unnest + group by."""
+    import shutil
+    import tempfile
+
+    from ethereum_etl_ray.stages.invindex import (
+        build_inverted_index,
+        lookup_postings,
+    )
+
+    idx = tempfile.mkdtemp(prefix="webcdc_inv_")
+    try:
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        build_inverted_index(ds, idx, buckets=64)
+        return lookup_postings(idx, ["scan", "merge", "window"]).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1514,6 +1550,7 @@ QUERIES = {
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_quantized_topk": q_ann_quantized_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "connected_components": q_connected_components,
     "near_dedup_keep": q_near_dedup_keep,
@@ -1538,6 +1575,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "decontaminate": q_decontaminate,
     "shuffle_rank": q_shuffle_rank,
+    "inverted_postings": q_inverted_postings,
     "pii_redact": q_pii_redact,
     "normalize_part": q_normalize_part,
     "rep_stats": q_rep_stats,
@@ -1953,6 +1991,16 @@ ORACLE_SQL = {
                CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM parsed GROUP BY domain
+    """,
+    "inverted_postings": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        )
+        SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM toks
+        WHERE token IN ('scan', 'merge', 'window')
+        GROUP BY token, doc_id
     """,
     # md5-hex ordering is identical in both engines (lowercase hex); the
     # doc_id tiebreak is unreachable for distinct keys but keeps the SQL total
