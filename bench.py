@@ -127,7 +127,7 @@ def _bench_queries() -> dict[str, float]:
     out = {}
     for name in ["lww_latest_by_key", "groupby_agg_pushdown", "window_hourly",
                  "broadcast_join_brand_rev", "exact_dedup_docs", "minhash_lsh_pairs",
-                 "embedding_topk", "quality_docs"]:
+                 "embedding_topk", "quality_docs", "decontaminate", "shuffle_rank"]:
         best = None
         for _ in range(repeat):
             t0 = time.perf_counter()

@@ -1513,6 +1513,56 @@ def q_inverted_postings(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_percentiles(sf_dir: str):
+    """Exact distributed percentiles (p25/p50/p90/p99 of event value) via
+    the k-th-element selection machinery (stages/selection.py) — the table
+    never globally sorts; each percentile is two narrow passes (rank
+    summaries + a bounded window). quantile_disc rank convention:
+    k = ceil(p·n), 1-indexed; the event_id tiebreak keeps ranks exact
+    under duplicate values without changing the selected value."""
+    import math
+
+    from ethereum_etl_ray.stages.selection import kth_smallest
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    n = ds.count()
+    ps = (0.25, 0.5, 0.9, 0.99)
+    vals = [float(kth_smallest(ds, ["value", "event_id"],
+                               max(1, math.ceil(p * n)))[0]) for p in ps]
+    return pa.table({"p": pa.array(ps, pa.float64()),
+                     "value": pa.array(vals, pa.float64())})
+
+
+def q_range_join(sf_dir: str):
+    """Distributed range/interval join (stages/joins.py:interval_join):
+    events matched to OVERLAPPING value windows [w·12, w·12+18) — the
+    overlap (stride 12 < span 18) forces multi-window matches. Left rows
+    bucket once, intervals replicate per overlapped bucket, one hash
+    shuffle, vectorized containment per group."""
+    from ethereum_etl_ray.stages.joins import interval_join
+
+    windows = pa.table({
+        "window_id": pa.array(range(20), pa.int64()),
+        "lo": pa.array([w * 12.0 for w in range(20)], pa.float64()),
+        "hi": pa.array([w * 12.0 + 18.0 for w in range(20)], pa.float64()),
+    })
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    out = interval_join(ev, ray.data.from_arrow(windows), left_on="value",
+                        right_lo="lo", right_hi="hi", bucket_width=24.0)
+    return out.select_columns(["event_id", "value", "window_id"])
+
+
+def q_bm25_scores(sf_dir: str):
+    """Per-(term, doc) BM25 relevance for three fixed query terms
+    (stages/invindex.py:bm25_scores). Rational-idf variant — no
+    transcendentals, so the float expression is bit-identical across
+    engines when mirrored literal-for-literal."""
+    from ethereum_etl_ray.stages.invindex import bm25_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_scores(ds, ["scan", "merge", "window"], k1=1.2, b=0.75)
+
+
 # --------------------------------------------------------------------------
 # registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1576,6 +1626,9 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "shuffle_rank": q_shuffle_rank,
     "inverted_postings": q_inverted_postings,
+    "percentiles": q_percentiles,
+    "range_join": q_range_join,
+    "bm25_scores": q_bm25_scores,
     "pii_redact": q_pii_redact,
     "normalize_part": q_normalize_part,
     "rep_stats": q_rep_stats,
@@ -1991,6 +2044,52 @@ ORACLE_SQL = {
                CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM parsed GROUP BY domain
+    """,
+    # window boundaries are exact binary doubles (multiples of 12/18), so the
+    # containment comparisons are bit-identical across engines
+    "range_join": """
+        SELECT e.event_id, e.value, w.window_id
+        FROM events e
+        JOIN (
+          SELECT i AS window_id, i * 12.0 AS lo, i * 12.0 + 18.0 AS hi
+          FROM UNNEST(generate_series(0, 19)) AS t(i)
+        ) w ON e.value >= w.lo AND e.value < w.hi
+    """,
+    "percentiles": """
+        SELECT CAST(0.25 AS DOUBLE) AS p, quantile_disc(value, 0.25) AS value FROM events
+        UNION ALL
+        SELECT 0.5, quantile_disc(value, 0.5) FROM events
+        UNION ALL
+        SELECT 0.9, quantile_disc(value, 0.9) FROM events
+        UNION ALL
+        SELECT 0.99, quantile_disc(value, 0.99) FROM events
+    """,
+    # the float expression mirrors stages/invindex.py:bm25_scores
+    # literal-for-literal and in the same association order (rational idf,
+    # no ln), so both engines produce bit-identical doubles; every literal
+    # is ::DOUBLE because DuckDB numeric literals are DECIMAL (1.2 + 1.0
+    # would be the exact decimal 2.2, not the double sum numpy computes);
+    # dl counts ALL split tokens (unnest parity), tf only matched terms
+    "bm25_scores": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+        tf AS (
+          SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM toks WHERE token IN ('scan', 'merge', 'window')
+          GROUP BY token, doc_id
+        ),
+        df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+        SELECT tf.token, tf.doc_id, tf.tf,
+               ((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                 * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                 / (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                    + 0.75::DOUBLE * dl / (tt / n))) AS score
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
     """,
     "inverted_postings": """
         WITH toks AS (

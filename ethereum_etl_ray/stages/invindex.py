@@ -93,3 +93,90 @@ def lookup_postings(index_dir: str, terms: list[str]) -> ray.data.Dataset:
                 lambda t: t.filter(pc.is_in(t.column("token"),
                                             value_set=term_arr)),
                 batch_format="pyarrow", zero_copy_batch=True))
+
+
+def bm25_scores(ds: ray.data.Dataset, terms: list[str], *, k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-(term, doc) BM25 relevance contributions for a fixed term set.
+
+    Rational-idf BM25 (no transcendentals, so both engines compute
+    bit-identical doubles — the ln-idf variant would differ in the last
+    ulp across libm builds):
+
+        score = ((N - df + 0.5) / (df + 0.5))
+                * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    ``dl`` counts ALL whitespace-split tokens (SQL ``unnest`` parity —
+    an empty text splits to one empty token). Two streaming passes:
+    (1) per-batch (N, total_tokens) partials — O(1) rows per batch;
+    (2) postings filtered to ``terms`` INSIDE the batch before anything
+    moves, with ``dl`` attached from the same batch. ``df`` comes off the
+    filtered postings (bounded by the term set's match count). Scores are
+    emitted per (term, doc) — no float summation order to disagree on.
+    """
+    term_arr = pa.array(sorted(set(terms)), pa.string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col).combine_chunks(),
+                                pattern=" ")
+        lens = pc.list_value_length(toks).fill_null(0)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64()),
+                         "tt": pa.array([pc.sum(lens).as_py() or 0], pa.int64())})
+
+    agg = (ds.select_columns([text_col])
+           .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas())
+    n_docs = int(agg["n"].sum())
+    avgdl = int(agg["tt"].sum()) / n_docs  # exact int → double division
+
+    def filtered_postings(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col).combine_chunks()
+        ids = batch.column(id_col)
+        ids_np = (ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+                  else ids).to_numpy()
+        toks = pc.split_pattern(text, pattern=" ")
+        dl = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pt = doc_term_batch(batch, text_col, id_col)
+        pt = pt.filter(pc.is_in(pt.column("token"), value_set=term_arr))
+        # attach dl: postings reference docs of THIS batch
+        pos = {int(d): i for i, d in enumerate(ids_np)}
+        prow = np.fromiter((pos[int(d)] for d in pt.column("doc_id").to_numpy()),
+                           dtype=np.int64, count=pt.num_rows)
+        return pt.append_column("dl", pa.array(dl[prow], pa.int64()))
+
+    posts = (ds.select_columns([id_col, text_col])
+             .map_batches(filtered_postings, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    # df per term: the filtered postings are bounded by the term set's
+    # matches; the per-term counts are a tiny aggregate
+    df_map = posts.groupby("token").count().to_pandas()
+    if "token" not in df_map.columns:  # zero matches: groupby drops columns
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
+    dfs = dict(zip(df_map["token"], df_map["count()"]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        dl = batch.column("dl").to_numpy().astype(np.float64)
+        df = np.array([dfs[t] for t in batch.column("token").to_pylist()],
+                      dtype=np.float64)
+        # mirror the SQL expression's association order exactly
+        idf = (n_docs - df + 0.5) / (df + 0.5)
+        s = idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        return pa.table({"token": batch.column("token"),
+                         "doc_id": batch.column("doc_id"),
+                         "tf": pc.cast(batch.column("tf"), pa.int64()),
+                         "score": pa.array(s, pa.float64())})
+
+    return posts.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -24,6 +24,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -337,3 +338,100 @@ def enrich_with(
 
     return ds.map_batches(Enricher, batch_format="pandas",
                           batch_size=batch_size, concurrency=pool_size(concurrency))
+
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Distributed range/interval join: each left row matches every right
+    interval with ``lo <= left_on < hi``. The canonical bucketed plan:
+
+      - left rows land in ONE bucket: ``floor(val / bucket_width)``;
+      - right intervals REPLICATE to every bucket they overlap
+        (O(span / bucket_width) copies per interval);
+      - one hash shuffle by bucket, then each group matches its local
+        left×right block with a vectorized containment mask.
+
+    Each (left, right) match is evaluated in exactly one group — the left
+    row's bucket — so no downstream dedup is needed. Pick ``bucket_width``
+    so a bucket's left rows fit one group's memory and intervals don't fan
+    out too widely (width ≈ median interval span is the usual choice).
+    Overlapping intervals are fine (a left row may emit several matches).
+
+    The reference has no range join (SURVEY §2.8); this generalizes its
+    keyed-lookup enrichments (J1–J4) to range predicates. ``how="inner"``
+    only: unmatched left rows are dropped. Column names must be disjoint
+    across sides (same contract as ``cogroup_join``).
+    """
+    if how != "inner":
+        raise ValueError("interval_join supports how='inner' only")
+    # normalize to Arrow blocks (pandas-block datasets report numpy dtypes)
+    left = left.map_batches(lambda t: t, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = right.map_batches(lambda t: t, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    l_schema, r_schema = left.schema(), right.schema()
+    lcols, rcols = list(l_schema.names), list(r_schema.names)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    unified = [(n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+               for n, t in (list(zip(lcols, l_schema.types))
+                            + list(zip(rcols, r_schema.types)))]
+
+    def widen(t: pa.Table, side: int, buckets: np.ndarray,
+              take: np.ndarray | None = None) -> pa.Table:
+        if take is not None:
+            t = t.take(pa.array(take, pa.int64()))
+        cols = {}
+        for name, typ in unified:
+            cols[name] = (t.column(name) if name in t.column_names
+                          else pa.nulls(t.num_rows, typ))
+        cols["__side"] = pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
+        cols["__bucket"] = pa.array(buckets, pa.int64())
+        return pa.table(cols)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        v = t.column(left_on).to_numpy()
+        return widen(t, 0, np.floor(v / bucket_width).astype(np.int64))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        lo = t.column(right_lo).to_numpy()
+        hi = t.column(right_hi).to_numpy()
+        b0 = np.floor(lo / bucket_width).astype(np.int64)
+        b1 = np.floor(hi / bucket_width).astype(np.int64)  # hi-edge bucket
+        reps = np.maximum(b1 - b0 + 1, 1)
+        row = np.repeat(np.arange(t.num_rows), reps)
+        before = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        off = np.arange(int(reps.sum())) - np.repeat(before, reps)
+        return widen(t, 1, b0[row] + off, take=row)
+
+    both = (left.map_batches(tag_left, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                     zero_copy_batch=True)))
+
+    def match(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lt = g.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(lcols)
+        rt = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(rcols)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({n: pa.nulls(0, t) for n, t in unified})
+        v = lt.column(left_on).to_numpy()
+        lo = rt.column(right_lo).to_numpy()
+        hi = rt.column(right_hi).to_numpy()
+        li, ri = np.nonzero((v[:, None] >= lo[None, :])
+                            & (v[:, None] < hi[None, :]))
+        out = lt.take(pa.array(li, pa.int64()))
+        rsel = rt.take(pa.array(ri, pa.int64()))
+        for c in rcols:
+            out = out.append_column(c, rsel.column(c))
+        return out
+
+    return both.groupby("__bucket").map_groups(match, batch_format="pyarrow")

@@ -74,3 +74,34 @@ def test_multi_term_lookup_distinct_buckets(ray_session, tmp_path):
     m = {(r.token, r.doc_id): r.tf for r in out.itertuples()}
     assert m == {("alpha", 1): 1, ("alpha", 3): 2,
                  ("gamma", 2): 1, ("gamma", 3): 1}
+
+
+def test_bm25_ranking_properties(ray_session):
+    from ethereum_etl_ray.stages.invindex import bm25_scores
+
+    rows = [
+        (1, "cat dog cat cat"),          # tf(cat)=3, dl=4
+        (2, "cat dog bird fish mouse"),  # tf(cat)=1, dl=5
+        (3, "cat " + "filler " * 20 + "end"),  # tf(cat)=1, long doc
+        (4, "dog dog dog"),              # no cat
+        (5, "rare unique term here"),
+    ]
+    ds = ray.data.from_arrow(_docs(rows)).repartition(2)
+    out = bm25_scores(ds, ["cat", "rare"]).to_pandas()
+    cat = out[out.token == "cat"].set_index("doc_id")
+    assert set(cat.index) == {1, 2, 3}
+    # higher tf wins at comparable dl; longer doc scores below shorter at same tf
+    assert cat.loc[1].score > cat.loc[2].score > cat.loc[3].score
+    # rarer term carries higher idf: doc 5's 'rare' (df=1) beats doc 2's
+    # 'cat' (df=3) at tf=1 and comparable dl
+    rare = out[out.token == "rare"].set_index("doc_id")
+    assert rare.loc[5].score > cat.loc[2].score
+    assert (out.tf >= 1).all() and (out.score > 0).all()
+
+
+def test_bm25_no_match_terms_empty(ray_session):
+    from ethereum_etl_ray.stages.invindex import bm25_scores
+
+    ds = ray.data.from_arrow(_docs([(1, "a b c"), (2, "d e")]))
+    out = bm25_scores(ds, ["zz_not_present"]).to_pandas()
+    assert len(out) == 0

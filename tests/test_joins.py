@@ -61,3 +61,55 @@ def test_bucketed_asof_rejects_overlapping_columns():
     b = ray.data.from_items([{"k": 1, "t": 1}])
     with pytest.raises(ValueError, match="disjoint"):
         bucketed_asof(a, b, left_ts="t", right_ts="t", left_by="k", right_by="k")
+
+
+def test_interval_join_containment_and_overlap():
+    from ethereum_etl_ray.stages.joins import interval_join
+
+    left = ray.data.from_items([
+        {"eid": 1, "v": 5.0},    # in [0,10) and [4,30)
+        {"eid": 2, "v": 10.0},   # hi-exclusive: NOT in [0,10); in [4,30)
+        {"eid": 3, "v": 4.0},    # lo-inclusive: in [0,10) and [4,30)
+        {"eid": 4, "v": 99.0},   # no window
+    ])
+    right = ray.data.from_items([
+        {"wid": 10, "lo": 0.0, "hi": 10.0},
+        {"wid": 11, "lo": 4.0, "hi": 30.0},   # spans several buckets
+    ])
+    out = interval_join(left, right, left_on="v", right_lo="lo",
+                        right_hi="hi", bucket_width=8.0).to_pandas()
+    got = sorted(zip(out.eid, out.wid))
+    assert got == [(1, 10), (1, 11), (2, 11), (3, 10), (3, 11)]
+
+
+def test_interval_join_wide_interval_replication():
+    from ethereum_etl_ray.stages.joins import interval_join
+
+    # one interval covering everything; every left row matches exactly once
+    left = ray.data.from_items([{"eid": i, "v": float(i * 7)}
+                                for i in range(50)]).repartition(4)
+    right = ray.data.from_items([{"wid": 1, "lo": 0.0, "hi": 1000.0}])
+    out = interval_join(left, right, left_on="v", right_lo="lo",
+                        right_hi="hi", bucket_width=10.0).to_pandas()
+    assert len(out) == 50 and set(out.wid) == {1}
+    assert sorted(out.eid) == list(range(50))
+
+
+def test_interval_join_rejects_column_collision():
+    from ethereum_etl_ray.stages.joins import interval_join
+
+    a = ray.data.from_items([{"v": 1.0, "x": 1}])
+    b = ray.data.from_items([{"lo": 0.0, "hi": 2.0, "x": 5}])
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(a, b, left_on="v", right_lo="lo", right_hi="hi",
+                      bucket_width=1.0)
+
+
+def test_interval_join_empty_match_set():
+    from ethereum_etl_ray.stages.joins import interval_join
+
+    left = ray.data.from_items([{"eid": 1, "v": 100.0}])
+    right = ray.data.from_items([{"wid": 1, "lo": 0.0, "hi": 1.0}])
+    out = interval_join(left, right, left_on="v", right_lo="lo",
+                        right_hi="hi", bucket_width=5.0).to_pandas()
+    assert len(out) == 0
