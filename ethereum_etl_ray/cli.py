@@ -207,6 +207,18 @@ def cmd_delete(args):
     print(json.dumps(delete_where(args.out, args.column, args.op, value)))
 
 
+def cmd_get(args):
+    """Point-read current rows by url (PRIMARY-KEY SELECT analogue,
+    src/repositories/sqlite/base.py:26-52): manifest-directed hash pruning
+    reads only the partition files the urls map to — no Ray session, no
+    lake scan."""
+    from ethereum_etl_ray.pipelines.replay import lookup_urls
+
+    t = lookup_urls(args.out, args.url)
+    rows = t.drop_columns(["html"]).to_pylist()
+    print(json.dumps({"found": len(rows), "rows": rows}, default=str))
+
+
 def cmd_export(args):
     """Lake → CSV export (reference X6: `COPY table TO file`,
     src/repositories/sqlite/base.py:177-185). Binary html is hex-encoded or
@@ -300,6 +312,12 @@ def main(argv=None):
                     choices=["==", "!=", "<", "<=", ">", ">=", "in", "not in"])
     sp.add_argument("--value", required=True)
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("get", help="point-read rows by url (PK SELECT)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--url", action="append", required=True,
+                    help="repeatable: urls to fetch")
+    sp.set_defaults(fn=cmd_get)
 
     sp = sub.add_parser("export", help="lake -> CSV (reference X6 COPY TO)")
     sp.add_argument("--out", required=True)

@@ -1563,6 +1563,110 @@ def q_bm25_scores(sf_dir: str):
     return bm25_scores(ds, ["scan", "merge", "window"], k1=1.2, b=0.75)
 
 
+def q_topn_per_key(sf_dir: str):
+    """Top-3 events per user by (value DESC, event_id ASC) — ROW_NUMBER ≤ n
+    per key (stages/grouped.py:topn_per_key): map-side per-key combiner, one
+    co-partition shuffle, vectorized run-length selection per partition."""
+    from ethereum_etl_ray.stages.grouped import topn_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return topn_per_key(ds, "user_id", ["value", "event_id"], 3,
+                        descending=[True, False])
+
+
+def q_grouped_median(sf_dir: str):
+    """Exact per-user median event value (quantile_disc 0.5 convention,
+    k = ceil(p·n)) — stages/grouped.py:grouped_quantile. The value is picked,
+    not interpolated, so floats cross engines untouched."""
+    from ethereum_etl_ray.stages.grouped import grouped_quantile
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return grouped_quantile(ds, "user_id", "value", 0.5, out_col="med_value")
+
+
+def q_window_lag_cumsum(sf_dir: str):
+    """Per-key window functions: LAG delta + running sum over each user's
+    event history ordered by (ts, event_id) — stages/grouped.py:keyed_window.
+    Values fixed-pointed to int64 cents so the running sum is exact integer
+    arithmetic in both engines."""
+    from ethereum_etl_ray.stages.grouped import keyed_window
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = keyed_window(ds, "user_id", ["ts", "event_id"], "value")
+    return out.select_columns(["event_id", "user_id", "delta_c100", "cum_c100"])
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority) over orders: count + exact cent-sum
+    at every prefix level (stages/reshape.py:rollup_aggregate) — ONE shuffle
+    at the finest level, coarser levels re-aggregated from its (tiny) result."""
+    from ethereum_etl_ray.stages.reshape import rollup_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return rollup_aggregate(ds, ["o_orderstatus", "o_orderpriority"],
+                            sum_cents={"o_totalprice": "total_c100"})
+
+
+def q_unpivot_metrics(sf_dir: str):
+    """UNPIVOT/melt lineitem's four numeric metrics to long form
+    (stages/reshape.py:unpivot) — purely map-side, zero-copy id columns."""
+    from ethereum_etl_ray.stages.reshape import unpivot
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax"])
+    return unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def q_intersect_keys(sf_dir: str):
+    """INTERSECT: distinct user ids present in BOTH events and customer —
+    semi-join membership filter over the distinct key set (the dual of
+    anti_join_users; A1-A3 distinct + set-op family)."""
+    from ethereum_etl_ray.stages.joins import semi_anti_filter
+
+    active = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return semi_anti_filter(cust, active, on="c_custkey", anti=False)
+
+
+def q_outer_join_activity(sf_dir: str):
+    """FULL OUTER join of per-user event counts with the customer table
+    (stages/joins.py:cogroup_join how='outer') — unmatched rows on BOTH
+    sides survive null-padded; runs downstream of a hash aggregate, the
+    exact shape where this Ray version's Dataset.join breaks."""
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    ev = (_read(sf_dir, "events", ["user_id"])
+          .groupby("user_id").count()
+          .map_batches(lambda t: t.rename_columns(["user_id", "n_ev"]),
+                       batch_format="pyarrow"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = cogroup_join(ev, cust, left_on="user_id", right_on="c_custkey",
+                       how="outer")
+    # nullable int columns cross engines as float64 (exact below 2^53) —
+    # NA-int representations differ between pandas/duckdb, floats don't
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.float64()),
+            "n_ev": pc.cast(t.column("n_ev"), pa.float64()),
+            "c_custkey": pc.cast(t.column("c_custkey"), pa.float64()),
+            "c_mktsegment": t.column("c_mktsegment")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) via distributed HyperLogLog
+    (stages/sketch.py:approx_distinct): O(4 KiB) per batch regardless of
+    cardinality, tree-merged in-cluster; error bound oracled in pytest
+    (tests/test_sketch.py) against the exact count."""
+    from ethereum_etl_ray.stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"estimate": pa.array([est], pa.float64())})
+
+
 # --------------------------------------------------------------------------
 # registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1629,6 +1733,14 @@ QUERIES = {
     "percentiles": q_percentiles,
     "range_join": q_range_join,
     "bm25_scores": q_bm25_scores,
+    "topn_per_key": q_topn_per_key,
+    "grouped_median": q_grouped_median,
+    "window_lag_cumsum": q_window_lag_cumsum,
+    "rollup_counts": q_rollup_counts,
+    "unpivot_metrics": q_unpivot_metrics,
+    "intersect_keys": q_intersect_keys,
+    "outer_join_activity": q_outer_join_activity,
+    "approx_distinct_users": q_approx_distinct_users,
     "pii_redact": q_pii_redact,
     "normalize_part": q_normalize_part,
     "rep_stats": q_rep_stats,
@@ -2090,6 +2202,61 @@ ORACLE_SQL = {
                  / (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
                     + 0.75::DOUBLE * dl / (tt / n))) AS score
         FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    """,
+    "topn_per_key": """
+        SELECT event_id, user_id, value FROM (
+          SELECT event_id, user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= 3
+    """,
+    "grouped_median": """
+        SELECT user_id, quantile_disc(value, 0.5) AS med_value
+        FROM events GROUP BY user_id
+    """,
+    # both engines sum int64 cents — no float summation order to disagree on
+    "window_lag_cumsum": """
+        WITH c AS (
+          SELECT event_id, user_id, ts,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c100
+          FROM events)
+        SELECT event_id, user_id,
+               c100 - LAG(c100) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta_c100,
+               CAST(SUM(c100) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_c100
+        FROM c
+    """,
+    "rollup_counts": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_c100
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "unpivot_metrics": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+               CAST(l_tax AS DOUBLE) FROM lineitem
+    """,
+    "intersect_keys": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT user_id FROM events)
+    """,
+    "outer_join_activity": """
+        SELECT CAST(e.user_id AS DOUBLE) AS user_id,
+               CAST(e.n_ev AS DOUBLE) AS n_ev,
+               CAST(c.c_custkey AS DOUBLE) AS c_custkey,
+               c.c_mktsegment
+        FROM (SELECT user_id, count(*) AS n_ev
+              FROM events GROUP BY user_id) e
+        FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
     """,
     "inverted_postings": """
         WITH toks AS (

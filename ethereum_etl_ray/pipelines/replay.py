@@ -687,3 +687,44 @@ def load_lake(out_dir: str) -> ray.data.Dataset:
 
     # columns= also drops the hive-style `part` column inferred from the path
     return ray.data.read_parquet(files, columns=list(PAGES_SCHEMA.names))
+
+
+def files_for_urls(manifest: Manifest, urls: list[str]) -> dict[str, list[str]]:
+    """Map each partition FILE to the urls that can only live in it.
+
+    The lake is hash-partitioned by ``hash64(url) % num_partitions``
+    (``make_partitioner``), so a point lookup touches exactly one file per
+    url — the reference's PRIMARY-KEY point read
+    (``src/repositories/sqlite/base.py:26-52`` inspect / SELECT-by-PK),
+    served here by manifest-directed file pruning instead of an index."""
+    pids = partition_ids(urls, manifest.num_partitions)
+    by_file: dict[str, list[str]] = {}
+    for url, pid in zip(urls, pids):
+        e = manifest.entry(int(pid))
+        if e is not None and e.rows > 0:
+            by_file.setdefault(e.file, []).append(url)
+    return by_file
+
+
+def lookup_urls(out_dir: str, urls: list[str]) -> pa.Table:
+    """Point-read current rows for ``urls`` from the committed lake.
+
+    Reads ONLY the partition files the urls hash to (O(distinct partitions)
+    of the request, never O(lake)), with a parquet-level url filter so row
+    groups that can't match are skipped too. Urls with no current row are
+    simply absent from the result (tombstoned or never written).
+    """
+    m = load_manifest(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest in {out_dir}")
+    from ethereum_etl_ray.schemas import PAGES_SCHEMA
+
+    cols = list(PAGES_SCHEMA.names)
+    pieces = []
+    for file, wanted in sorted(files_for_urls(m, list(urls)).items()):
+        t = pq.read_table(os.path.join(out_dir, file), columns=cols,
+                          filters=[("url", "in", sorted(set(wanted)))])
+        pieces.append(t)
+    if not pieces:
+        return PAGES_SCHEMA.empty_table()
+    return pa.concat_tables(pieces)

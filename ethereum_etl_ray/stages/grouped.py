@@ -1,0 +1,197 @@
+"""Per-key grouped operators: top-N per key, grouped quantiles, keyed
+window functions (lag / cumulative sum).
+
+All three share one physical plan — the engine's co-partition shuffle
+(``hash64(key) % P``, the same partitioner as ``cogroup_join`` /
+``bucketed_asof``): keys land wholly inside one partition, each partition is
+processed as ONE Arrow table with vectorized numpy group-boundary math (no
+per-group Python calls — ``groupby(key).map_groups`` would invoke the UDF
+once per key, which is 10^4+ interpreter round-trips per partition at scale).
+
+Scale contract: per-KEY data must fit a task (same as any hash aggregation);
+per-PARTITION volume is controlled by ``num_partitions``. ``topn_per_key``
+additionally runs a map-side combiner so only ≤ n rows per (batch, key) ever
+enter the shuffle.
+
+The reference has no grouped rankings/quantiles/windows (SURVEY §2.8); the
+nearest analogue is its sink-side keyed LWW pick (A5/A6), generalized here to
+arbitrary per-key order statistics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ethereum_etl_ray.functions.hashing import partition_ids
+
+
+def _default_partitions() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus)
+
+
+def map_copartitions(
+    ds: ray.data.Dataset,
+    key: str,
+    fn,
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Hash-partition ``ds`` by ``key`` and apply ``fn`` once per partition.
+
+    ``fn`` receives one ``pa.Table`` holding ALL rows of every key hashed to
+    that partition (the ``__part`` helper column already dropped) and returns
+    a ``pa.Table``. One shuffle; everything else map-side.
+    """
+    parts = num_partitions or _default_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        pids = (partition_ids(t.column(key), parts) if t.num_rows
+                else np.array([], np.int32))
+        return t.append_column("__part", pa.array(pids, pa.int32()))
+
+    def run(g: pa.Table) -> pa.Table:
+        return fn(g.drop_columns(["__part"]))
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__part").map_groups(run, batch_format="pyarrow"))
+
+
+def _group_starts(keys: np.ndarray) -> np.ndarray:
+    """Start index of each key run in a key-sorted array (first entry 0)."""
+    if len(keys) == 0:
+        return np.array([], np.int64)
+    return np.concatenate(([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1))
+
+
+def _keep_topn_sorted(t: pa.Table, key: str, n: int) -> pa.Table:
+    """Given ``t`` already sorted by (key, order...), keep first n per key."""
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    starts = _group_starts(keys)
+    pos = np.arange(len(keys)) - np.repeat(starts, np.diff(
+        np.concatenate((starts, [len(keys)]))))
+    return t.filter(pa.array(pos < n))
+
+
+def topn_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    sort_cols: list[str],
+    n: int,
+    descending: list[bool] | bool = False,
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Top-``n`` rows per key ordered by ``sort_cols`` (ROW_NUMBER ≤ n).
+
+    Ties are broken by the sort columns' total order — include a unique
+    tiebreak column for deterministic output. Map-side combiner first: each
+    batch keeps its local per-key top-n (the only rows that can survive the
+    global selection), so the shuffle moves ≤ n rows per (batch, key).
+    """
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    order = ([(key, "ascending")]
+             + [(c, "descending" if d else "ascending")
+                for c, d in zip(sort_cols, descending)])
+
+    def local(t: pa.Table) -> pa.Table:
+        return _keep_topn_sorted(t.sort_by(order), key, n)
+
+    combined = ds.map_batches(local, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return map_copartitions(combined, key, local,
+                            num_partitions=num_partitions)
+
+
+def grouped_quantile(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    p: float,
+    *,
+    out_col: str | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact discrete quantile per key: the k-th smallest ``col`` value with
+    ``k = ceil(p·n_key)`` (1-indexed) — ``quantile_disc`` convention, the
+    same rank rule the global ``percentiles`` query proved bit-identical
+    against DuckDB. The value is picked, never interpolated, so floats pass
+    through untouched (exact cross-engine parity).
+    """
+    out_col = out_col or f"q{int(p * 100)}"
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: t.column(key),
+                             out_col: pa.nulls(0, t.schema.field(col).type)})
+        t = t.sort_by([(key, "ascending"), (col, "ascending")])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        starts = _group_starts(keys)
+        counts = np.diff(np.concatenate((starts, [len(keys)])))
+        ks = np.maximum(1, np.ceil(p * counts)).astype(np.int64)
+        idx = starts + ks - 1
+        return pa.table({key: t.column(key).take(pa.array(starts, pa.int64())),
+                         out_col: t.column(col).take(pa.array(idx, pa.int64()))})
+
+    return map_copartitions(ds.select_columns([key, col]), key, pick,
+                            num_partitions=num_partitions)
+
+
+def keyed_window(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    cents: bool = True,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key LAG delta + cumulative sum over the key's event history,
+    ordered by ``order_cols`` (must totally order rows within a key).
+
+    Emits the input columns plus ``delta_c100`` (value − previous value,
+    null on each key's first row) and ``cum_c100`` (running sum). Values are
+    fixed-pointed to int64 cents (``floor(x·100 + 0.5)``) so the running sum
+    is exact integer arithmetic — cross-engine float summation order can
+    never disagree. ``cents=False`` keeps raw int64 values instead.
+    """
+
+    def window(t: pa.Table) -> pa.Table:
+        out_cols = {c: t.column(c) for c in t.column_names}
+        if t.num_rows == 0:
+            out_cols["delta_c100"] = pa.nulls(0, pa.int64())
+            out_cols["cum_c100"] = pa.nulls(0, pa.int64())
+            return pa.table(out_cols)
+        t = t.sort_by([(key, "ascending")]
+                      + [(c, "ascending") for c in order_cols])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        c = (np.floor(v * 100.0 + 0.5).astype(np.int64) if cents
+             else v.astype(np.int64))
+        starts = _group_starts(keys)
+        is_start = np.zeros(len(keys), bool)
+        is_start[starts] = True
+        # cumulative sum restarting at each key: subtract the running total
+        # carried in from previous keys
+        cum_all = np.cumsum(c)
+        carry_in = np.repeat(cum_all[starts] - c[starts],
+                             np.diff(np.concatenate((starts, [len(keys)]))))
+        cum = cum_all - carry_in
+        lag = np.empty_like(c)
+        lag[1:] = c[:-1]
+        lag[0] = 0
+        delta = c - lag
+        out_cols = {c_: t.column(c_) for c_ in t.column_names}
+        out_cols["delta_c100"] = pa.array(delta, pa.int64(),
+                                          mask=is_start)
+        out_cols["cum_c100"] = pa.array(cum, pa.int64())
+        return pa.table(out_cols)
+
+    return map_copartitions(ds, key, window, num_partitions=num_partitions)

@@ -242,13 +242,14 @@ def cogroup_join(
     comes out of a hash aggregate (groupby emits empty zero-column blocks
     that poison the join partitions) — this shape is proven downstream of
     aggregates (cf. ``bucketed_asof`` + the asof_join_orders oracle).
-    Column names must be disjoint across sides; only ``inner`` and ``left``
-    are implemented (a right/outer join would need the empty-left partitions
-    to emit null-padded right rows)."""
+    Column names must be disjoint across sides; ``inner``/``left``/``right``/
+    ``outer`` — unmatched rows of the preserved side(s) come back null-padded
+    (partitions empty on one side emit the other side whole)."""
     from ethereum_etl_ray.functions.hashing import partition_ids
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"cogroup_join supports how='inner'|'left', got {how!r}")
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(
+            f"cogroup_join supports how='inner'|'left'|'right'|'outer', got {how!r}")
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -294,7 +295,9 @@ def cogroup_join(
         side = g.column("__side")
         lt = g.filter(pa.compute.equal(side, pa.scalar(0, pa.int8()))).select(l_cols)
         rt = g.filter(pa.compute.equal(side, pa.scalar(1, pa.int8()))).select(r_cols)
-        if lt.num_rows == 0 or (how == "inner" and rt.num_rows == 0):
+        keep_l = how in ("left", "outer")
+        keep_r = how in ("right", "outer")
+        if (lt.num_rows == 0 and not keep_r) or (rt.num_rows == 0 and not keep_l):
             return pa.table({n: pa.nulls(0, t) for n, t in unified}).to_pandas()
         l, r = lt.to_pandas(), rt.to_pandas()
         # restore nullable Int64 BEFORE the merge for every declared-integer

@@ -193,3 +193,97 @@ def sketch_heavy_hitters(ds: ray.data.Dataset, key: str, *, sample_fraction: flo
     est = merged.query(cand_list)
     df = pd.DataFrame({key: cand_list, "est_n": est})
     return df.sort_values(["est_n", key], ascending=[False, True]).reset_index(drop=True)
+
+
+class HyperLogLog:
+    """Mergeable HyperLogLog distinct-count sketch (2**p byte registers).
+
+    Standard Flajolet–Fusy–Gandouet–Meunier estimator with the linear-
+    counting small-range correction. Registers merge by elementwise max
+    (associative + idempotent → any tree shape, and re-adding the same keys
+    is a no-op, matching the engine's replay-idempotence discipline).
+    """
+
+    __slots__ = ("p", "m", "regs")
+
+    def __init__(self, p: int = 12, regs: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.regs = regs if regs is not None else np.zeros(self.m, np.uint8)
+
+    def add_many(self, keys) -> None:
+        h = hash64(keys)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros + 1 = 65 - bit_length, via exact integer
+        # binary-search bit length (log2-as-float rounds wrong near 2**64)
+        bl = np.zeros(len(h), np.uint8)
+        v = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = v >> np.uint64(shift)
+            has = m != 0
+            bl[has] += shift
+            v[has] = m[has]
+        bl += 1  # rest is never 0 (sentinel low bits), so bit_length ≥ 1
+        np.maximum.at(self.regs, idx, np.uint8(65) - bl)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        return HyperLogLog(self.p, np.maximum(self.regs, other.regs))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-self.regs.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.regs == 0))
+        if e <= 2.5 * m and zeros > 0:  # linear counting
+            e = m * np.log(m / zeros)
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return self.regs.tobytes()
+
+    @classmethod
+    def deserialize(cls, raw: bytes, p: int = 12) -> "HyperLogLog":
+        return cls(p, np.frombuffer(raw, dtype=np.uint8).copy())
+
+
+def approx_distinct(ds: ray.data.Dataset, key: str, *, p: int = 12,
+                    fan_in: int = 32) -> float:
+    """Approximate COUNT(DISTINCT key) via a distributed HyperLogLog.
+
+    Per-batch register arrays (O(2**p) bytes each, independent of
+    cardinality) tree-merge inside the cluster by elementwise max; the
+    driver receives ONE 2**p-byte row. Standard error ≈ 1.04/sqrt(2**p)
+    (~1.6 % at p=12). The exact path (`Dataset.unique`) shuffles every key;
+    this sketch replaces it wherever a ±2 % answer is acceptable —
+    cardinality estimation for partition sizing, skew detection, dedup
+    ratio monitoring.
+    """
+
+    def batch_regs(t: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        arr = t.column(key).to_pandas().to_numpy()
+        hll.add_many(arr)
+        return pa.table({"regs": pa.array([hll.serialize()], pa.binary())})
+
+    def merge_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        acc = np.zeros(1 << p, np.uint8)
+        for i in range(t.num_rows):
+            acc = np.maximum(acc, np.frombuffer(
+                t.column("regs")[i].as_py(), dtype=np.uint8))
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
+    sk = ds.map_batches(batch_regs, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    sk = sk.map_batches(merge_rows, batch_size=None, batch_format="pyarrow")
+    sk = sk.repartition(fan_in).map_batches(merge_rows, batch_size=None,
+                                            batch_format="pyarrow")
+    rows = (sk.repartition(1).map_batches(merge_rows, batch_size=None,
+                                          batch_format="pyarrow").take_all())
+    if not rows:
+        return 0.0
+    assert len(rows) == 1, f"tree merge must yield one root row, got {len(rows)}"
+    return HyperLogLog.deserialize(bytes(rows[0]["regs"]), p).estimate()

@@ -37,7 +37,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
+            # nullable Int64 with NA can't become int64 — fall to float64
+            df[c] = df[c].astype("float64" if df[c].isna().any() else "int64")
         elif pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype(bool)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)

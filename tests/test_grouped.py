@@ -1,0 +1,95 @@
+"""Per-key grouped operators: top-N per key, grouped quantile, keyed window."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ethereum_etl_ray.stages.grouped import (
+    grouped_quantile,
+    keyed_window,
+    topn_per_key,
+)
+
+
+def _events(n=400, keys=17, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "k": np.char.add("u", rng.integers(0, keys, n).astype(str)),
+        "ts": rng.integers(0, 10_000, n).astype(np.int64),
+        "v": rng.uniform(0, 100, n),
+    })
+
+
+def test_topn_per_key_matches_pandas(ray_session):
+    df = _events()
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = (topn_per_key(ds, "k", ["v", "eid"], 3, descending=[True, False])
+           .to_pandas().sort_values(["k", "v", "eid"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    want = (df.sort_values(["v", "eid"], ascending=[False, True])
+            .groupby("k").head(3)
+            .sort_values(["k", "v", "eid"], ascending=[True, False, True])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["eid", "k", "v"]].reset_index(drop=True),
+                                  want[["eid", "k", "v"]].reset_index(drop=True))
+
+
+def test_topn_smaller_groups_survive_whole(ray_session):
+    df = pd.DataFrame({"eid": [1, 2, 3], "k": ["a", "a", "b"],
+                       "v": [1.0, 2.0, 3.0]})
+    out = topn_per_key(ray.data.from_pandas(df), "k", ["v"], 10,
+                       descending=True).to_pandas()
+    assert len(out) == 3
+
+
+def test_grouped_quantile_disc_convention(ray_session):
+    # per-key medians with known answers: k = ceil(0.5·n), 1-indexed
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 5 + ["c"] * 1,
+        "v": [1.0, 2.0, 3.0, 4.0,      # n=4 → k=2 → 2.0
+              10.0, 20.0, 30.0, 40.0, 50.0,  # n=5 → k=3 → 30.0
+              7.5],                     # n=1 → 7.5
+    })
+    out = (grouped_quantile(ray.data.from_pandas(df).repartition(3),
+                            "k", "v", 0.5, out_col="med")
+           .to_pandas().set_index("k").med)
+    assert out.loc["a"] == 2.0 and out.loc["b"] == 30.0 and out.loc["c"] == 7.5
+
+
+def test_grouped_quantile_p90_matches_duckdb(ray_session):
+    import duckdb
+
+    df = _events(600, keys=23, seed=5)
+    out = (grouped_quantile(ray.data.from_pandas(df).repartition(4),
+                            "k", "v", 0.9, out_col="q90")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.9) AS q90 FROM df GROUP BY k ORDER BY k"
+    ).df()
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_keyed_window_lag_and_cumsum(ray_session):
+    df = pd.DataFrame({
+        "eid": [1, 2, 3, 4, 5],
+        "k": ["a", "a", "a", "b", "b"],
+        "ts": [10, 20, 30, 5, 6],
+        "v": [1.00, 2.50, 2.00, 10.00, 0.25],
+    })
+    out = (keyed_window(ray.data.from_pandas(df).repartition(2),
+                        "k", ["ts", "eid"], "v")
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    assert out.cum_c100.tolist() == [100, 350, 550, 1000, 1025]
+    deltas = out.delta_c100.tolist()
+    assert pd.isna(deltas[0]) and deltas[1] == 150 and deltas[2] == -50
+    assert pd.isna(deltas[3]) and deltas[4] == -975
+
+
+def test_keyed_window_empty(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "eid": pa.array([], pa.int64()), "k": pa.array([], pa.string()),
+        "ts": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}))
+    assert keyed_window(ds, "k", ["ts", "eid"], "v").count() == 0

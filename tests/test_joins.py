@@ -113,3 +113,23 @@ def test_interval_join_empty_match_set():
     out = interval_join(left, right, left_on="v", right_lo="lo",
                         right_hi="hi", bucket_width=5.0).to_pandas()
     assert len(out) == 0
+
+
+def test_cogroup_join_outer_and_right():
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    left = ray.data.from_items([{"lk": 1, "lv": "a"}, {"lk": 2, "lv": "b"}])
+    right = ray.data.from_items([{"rk": 2, "rv": "x"}, {"rk": 3, "rv": "y"}])
+    out = (cogroup_join(left, right, left_on="lk", right_on="rk", how="outer")
+           .to_pandas())
+    assert len(out) == 3
+    rows = {tuple(None if pd.isna(v) else v for v in r)
+            for r in out[["lk", "lv", "rk", "rv"]].itertuples(index=False)}
+    assert rows == {(1, "a", None, None), (2, "b", 2, "x"),
+                    (None, None, 3, "y")}
+
+    out_r = (cogroup_join(left, right, left_on="lk", right_on="rk",
+                          how="right").to_pandas())
+    assert len(out_r) == 2 and set(out_r.rk.dropna()) == {2, 3}
+    only_r = out_r[out_r.rk == 3]
+    assert only_r.lk.isna().all()

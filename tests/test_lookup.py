@@ -1,0 +1,65 @@
+"""Point-read by url: manifest-directed hash pruning (PK SELECT analogue)."""
+
+import pytest
+
+from ethereum_etl_ray.config import EngineConfig
+from ethereum_etl_ray.pipelines.replay import (
+    files_for_urls,
+    load_lake,
+    lookup_urls,
+    replay,
+)
+from ethereum_etl_ray.state.manifest import load_manifest
+
+
+@pytest.fixture(scope="module")
+def lake(tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lookup_lake"))
+    replay(tiny_corpus, out, EngineConfig(num_partitions=8))
+    return out
+
+
+def test_lookup_matches_full_scan(lake, tiny_oracle):
+    df = load_lake(lake).to_pandas()
+    sample = sorted(df.url)[:7] + ["url://does-not-exist"]
+    got = lookup_urls(lake, sample).to_pandas()
+    assert set(got.url) == set(sample) - {"url://does-not-exist"}
+    full = df.set_index("url")
+    for r in got.itertuples():
+        assert r.text == full.loc[r.url].text
+        assert r.text == tiny_oracle[r.url]["text"]
+
+
+def test_lookup_prunes_to_hashed_files(lake):
+    m = load_manifest(lake)
+    df = load_lake(lake).to_pandas()
+    one = sorted(df.url)[0]
+    by_file = files_for_urls(m, [one])
+    assert len(by_file) == 1  # exactly one partition file for one url
+    # every url in the request maps to its own hash partition's file
+    many = sorted(df.url)[:20]
+    by_file = files_for_urls(m, many)
+    assert sum(len(v) for v in by_file.values()) == 20
+    assert len(by_file) <= m.num_partitions
+
+
+def test_lookup_no_manifest_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        lookup_urls(str(tmp_path), ["u"])
+
+
+def test_lookup_all_missing_returns_empty_typed(lake):
+    t = lookup_urls(lake, ["url://nope-1", "url://nope-2"])
+    assert t.num_rows == 0 and "url" in t.schema.names
+
+
+def test_cli_get(lake, capsys):
+    import json
+
+    from ethereum_etl_ray.cli import main
+
+    df = load_lake(lake).to_pandas()
+    u = sorted(df.url)[0]
+    main(["get", "--out", lake, "--url", u, "--url", "url://nope"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["found"] == 1 and out["rows"][0]["url"] == u

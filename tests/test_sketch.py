@@ -122,3 +122,43 @@ def test_sketch_heavy_hitters_end_to_end_still_ranks_hot_key():
                               candidate_cap=32)
     assert df.iloc[0].url == "hot"
     assert df.iloc[0].est_n >= 500  # CMS overestimates only
+
+
+def test_hll_error_bound_and_merge():
+    from ethereum_etl_ray.stages.sketch import HyperLogLog
+
+    keys = [f"user-{i}" for i in range(20_000)]
+    h = HyperLogLog(p=12)
+    h.add_many(np.array(keys, dtype=object))
+    est = h.estimate()
+    assert abs(est - 20_000) / 20_000 < 0.05  # ±3σ at p=12 is ~4.9 %
+
+    # merge of halves == whole (elementwise max is associative+idempotent)
+    h1, h2 = HyperLogLog(p=12), HyperLogLog(p=12)
+    h1.add_many(np.array(keys[:10_000], dtype=object))
+    h2.add_many(np.array(keys[5_000:], dtype=object))  # overlapping!
+    assert h1.merge(h2).estimate() == est
+    assert (h1.merge(h2).regs == h.regs).all()
+
+
+def test_hll_small_range_linear_counting():
+    from ethereum_etl_ray.stages.sketch import HyperLogLog
+
+    h = HyperLogLog(p=12)
+    h.add_many(np.array([f"k{i}" for i in range(50)], dtype=object))
+    assert abs(h.estimate() - 50) < 3
+
+
+def test_approx_distinct_distributed(ray_session):
+    from ethereum_etl_ray.stages.sketch import approx_distinct
+
+    n_distinct = 5000
+    rng = np.random.default_rng(9)
+    keys = np.char.add("u", rng.integers(0, n_distinct, 40_000).astype(str))
+    true = len(np.unique(keys))
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - true) / true < 0.05
+    # driver sees ONE sketch row regardless of partitioning (scale contract)
+    est2 = approx_distinct(ds.repartition(2), "k", p=12)
+    assert est2 == est  # partition-shape independent (max is associative)
