@@ -234,3 +234,32 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text",
                 if len(hd) >= window else hd)
         out[i] = np.bitwise_xor.reduce(mins)
     return batch.append_column(out_col, pa.array(out.view(np.int64), pa.int64()))
+
+
+def compression_stats_batch(batch: pa.Table, text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """Per-document zlib compression ratio — the classic repetition/boiler-
+    plate quality signal (highly repetitive or templated text compresses far
+    below natural prose; near-random noise compresses above it).
+
+    Emits ``zlib_len`` and ``ratio_ppm = compressed/raw parts-per-million``
+    (integer — no cross-engine float division). The per-row zlib calls are
+    C-speed; the Python loop is only dispatch (acceptable: compression
+    dominates). Not SQL-expressible — oracled in tests/test_textstats.py
+    with planted repetitive vs high-entropy docs.
+    """
+    import zlib
+
+    text = batch.column(text_col).combine_chunks()
+    raw = text.cast(pa.binary())
+    zlens = np.fromiter(
+        (len(zlib.compress(raw[i].as_py() or b"", level))
+         for i in range(len(raw))),
+        dtype=np.int64, count=len(raw))
+    rawlens = pc.binary_length(raw).to_numpy(zero_copy_only=False).astype(np.int64)
+    ratio = np.where(rawlens > 0, zlens * 1_000_000 // np.maximum(rawlens, 1),
+                     1_000_000)
+    out = {c: batch.column(c) for c in batch.column_names}
+    out["zlib_len"] = pa.array(zlens, pa.int64())
+    out["ratio_ppm"] = pa.array(ratio, pa.int64())
+    return pa.table(out)

@@ -1655,6 +1655,32 @@ def q_outer_join_activity(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_compression_ratio(sf_dir: str):
+    """Per-document zlib compression ratio (repetition/boilerplate quality
+    signal — functions/textstats.py:compression_stats_batch). Rows-only at
+    the driver (SQL has no zlib); planted-docs oracle in
+    tests/test_textstats.py."""
+    from ethereum_etl_ray.functions.textstats import compression_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(compression_stats_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "zlib_len", "ratio_ppm"])
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res, stages/selection.py:weighted_sample_k): 100 documents
+    weighted by n_chars — inclusion probability scales with length, sample
+    reproducible across partitionings/cluster sizes. Driver rows-only;
+    determinism + inclusion-rate oracles in tests/test_selection.py."""
+    from ethereum_etl_ray.stages.selection import weighted_sample_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample_k(ds, k=100, weight_col="n_chars",
+                             id_col="doc_id")
+
+
 def q_approx_distinct_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) via distributed HyperLogLog
     (stages/sketch.py:approx_distinct): O(4 KiB) per batch regardless of
@@ -1740,6 +1766,8 @@ QUERIES = {
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
+    "weighted_sample": q_weighted_sample,
+    "compression_ratio": q_compression_ratio,
     "approx_distinct_users": q_approx_distinct_users,
     "pii_redact": q_pii_redact,
     "normalize_part": q_normalize_part,

@@ -674,10 +674,20 @@ def _split_and_salt_hot_keys(ds, corpus, cfg, seq_gt, seq_le):
     return cold_ds.union(hot_winners)
 
 
-def load_lake(out_dir: str) -> ray.data.Dataset:
+def load_lake(out_dir: str, generation: int | None = None) -> ray.data.Dataset:
     """Read the committed lake state (manifest-listed files only — orphan
-    files from crashed runs are invisible, the exactly-once guarantee)."""
-    m = load_manifest(out_dir)
+    files from crashed runs are invisible, the exactly-once guarantee).
+
+    ``generation=`` time-travels: reads a RETAINED generation's file set
+    without flipping the live pointer (read-only, lock-free — unlike
+    ``restore_generation``); the reference's backup tables were readable the
+    same way (`src/repositories/sqlite/base.py:81-136`)."""
+    if generation is not None:
+        from ethereum_etl_ray.state.manifest import manifest_at
+
+        m = manifest_at(out_dir, generation)
+    else:
+        m = load_manifest(out_dir)
     if m is None:
         raise FileNotFoundError(f"no committed manifest in {out_dir}")
     files = m.files(out_dir)

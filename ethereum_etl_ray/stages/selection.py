@@ -287,3 +287,45 @@ def _fold256(b: pa.Table, col: str) -> np.ndarray:
     cycling 0..255 in order) into one 256-bin array."""
     v = b.column(col).to_numpy(zero_copy_only=False)
     return v.reshape(-1, 256).sum(axis=0)
+
+
+def weighted_sample_k(
+    ds: ray.data.Dataset,
+    *,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    salt: str = "",
+) -> "pd.DataFrame":
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-Res): every row gets priority ``ln(u) / w`` where ``u`` is a
+    deterministic uniform derived from ``hash64(id, salt)`` — the k largest
+    priorities are the sample, so inclusion probability scales with weight
+    while the selection stays reproducible (same ids + salt → same sample,
+    regardless of partitioning or cluster size, the engine's determinism
+    discipline).
+
+    Distributed as a partial top-k: each batch keeps only its local top-k
+    priorities, the driver reduce sees ≤ k·#batches rows — no shuffle, no
+    global sort (same shape as ``stages/topk.py``). Rows with weight ≤ 0 or
+    null are excluded. Typical use: quality-weighted corpus mixing.
+    """
+
+    from ethereum_etl_ray.functions.hashing import hash64
+    from ethereum_etl_ray.stages.topk import topk
+
+    def prioritize(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = hash64(np.char.add(ids.astype(str), f"\x00{salt}"))
+        # u in (0, 1): offset by 0.5 so ln never sees 0
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        pri = np.log(u) / w
+        ok = np.isfinite(pri) & (w > 0)
+        return t.filter(pa.array(ok)).append_column(
+            "__pri", pa.array(pri[ok], pa.float64()))
+
+    scored = ds.map_batches(prioritize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = topk(scored, ["__pri", id_col], k, descending=[True, False])
+    return out.drop(columns="__pri").reset_index(drop=True)

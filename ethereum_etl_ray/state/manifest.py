@@ -124,6 +124,24 @@ def commit_manifest(out_dir: str, manifest: Manifest,
             pass
 
 
+def manifest_at(out_dir: str, generation: int) -> Manifest:
+    """Read-only load of a RETAINED generation's manifest (time travel —
+    no pointer flip, no lock; the generation's partition files are protected
+    from GC while it stays inside the retention window). Raises if the
+    generation aged out or references missing files."""
+    m = _load_manifest_file(_gen_path(out_dir, generation))
+    if m is None:
+        raise FileNotFoundError(
+            f"no retained generation {generation} in {out_dir} "
+            f"(retained: {list_generations(out_dir)})")
+    missing = [p for p in m.files(out_dir) if not os.path.exists(p)]
+    if missing:
+        raise RuntimeError(
+            f"generation {generation} references {len(missing)} missing "
+            f"partition files (e.g. {missing[0]})")
+    return m
+
+
 def restore_generation(out_dir: str, watermark: int | None = None,
                        generation: int | None = None) -> Manifest:
     """Flip the live manifest back to a retained generation — addressed by

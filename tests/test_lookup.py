@@ -63,3 +63,31 @@ def test_cli_get(lake, capsys):
     main(["get", "--out", lake, "--url", u, "--url", "url://nope"])
     out = json.loads(capsys.readouterr().out)
     assert out["found"] == 1 and out["rows"][0]["url"] == u
+
+
+def test_time_travel_read(tiny_corpus, tmp_path_factory):
+    """load_lake(generation=) reads a retained generation WITHOUT flipping
+    the live pointer — the state must equal what the lake held right after
+    that generation's commit."""
+    out = str(tmp_path_factory.mktemp("tt_lake"))
+    mid = tiny_corpus.watermark // 2
+    replay(tiny_corpus, out, EngineConfig(num_partitions=8), watermark=mid)
+    df_g1 = load_lake(out).to_pandas()
+    g1 = load_manifest(out).generation
+    replay(tiny_corpus, out, EngineConfig(num_partitions=8))
+    g2 = load_manifest(out).generation
+    assert g2 > g1
+
+    old = load_lake(out, generation=g1).to_pandas()
+    assert dict(zip(old.url, old.text)) == dict(zip(df_g1.url, df_g1.text))
+    # live pointer untouched
+    assert load_manifest(out).generation == g2
+    live = load_lake(out).to_pandas()
+    assert len(live) >= len(old)
+
+
+def test_time_travel_unknown_generation(tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tt_missing"))
+    replay(tiny_corpus, out, EngineConfig(num_partitions=8))
+    with pytest.raises(FileNotFoundError):
+        load_lake(out, generation=999)

@@ -148,3 +148,50 @@ def test_stratified_sample_partitioning_invariant():
     assert (out.groupby("lang").size() == 20).all()
     out2 = QUERIES["stratified_sample"]("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(ray_session):
+    from ethereum_etl_ray.stages.selection import weighted_sample_k
+
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "w": np.random.default_rng(4).uniform(0.1, 5.0, 1000)})
+    a = weighted_sample_k(ray.data.from_pandas(df).repartition(2),
+                          k=50, weight_col="w", id_col="id")
+    b = weighted_sample_k(ray.data.from_pandas(df).repartition(9),
+                          k=50, weight_col="w", id_col="id")
+    assert len(a) == 50
+    assert sorted(a.id) == sorted(b.id)  # partitioning-independent
+
+    # exact parity with a local single-machine computation of the same rule
+    from ethereum_etl_ray.functions.hashing import hash64
+    h = hash64(np.char.add(df.id.to_numpy().astype(str), "\x00"))
+    pri = np.log((h.astype(np.float64) + 0.5) / 2.0**64) / df.w.to_numpy()
+    want = set(df.id.to_numpy()[np.argsort(-pri)][:50])
+    assert set(a.id) == want
+
+
+def test_weighted_sample_inclusion_scales_with_weight(ray_session):
+    from ethereum_etl_ray.stages.selection import weighted_sample_k
+
+    # 100 heavy (w=10) + 900 light (w=1): expected heavy inclusion rate is
+    # ~10x light; across salts the counts must clearly separate
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "w": np.where(np.arange(1000) < 100, 10.0, 1.0)})
+    ds = ray.data.from_pandas(df)
+    heavy = light = 0
+    for s in range(30):
+        got = weighted_sample_k(ds, k=100, weight_col="w", id_col="id",
+                                salt=str(s))
+        heavy += int((got.id < 100).sum())
+        light += int((got.id >= 100).sum())
+    assert heavy / 30 > 35  # ≫ 10 expected under uniform sampling
+    assert heavy / (heavy + light) > 0.35
+
+
+def test_weighted_sample_skips_nonpositive_weights(ray_session):
+    from ethereum_etl_ray.stages.selection import weighted_sample_k
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4], "w": [1.0, 0.0, -2.0, 1.0]})
+    got = weighted_sample_k(ray.data.from_pandas(df), k=10,
+                            weight_col="w", id_col="id")
+    assert sorted(got.id) == [1, 4]

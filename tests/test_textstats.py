@@ -65,3 +65,37 @@ def test_rolling_fingerprint_deterministic_and_discriminative():
     fps = out.column("winnow_fp").to_pylist()
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_compression_ratio_separates_repetition_from_entropy(ray_session):
+    import zlib
+
+    from ethereum_etl_ray.functions.textstats import compression_stats_batch
+
+    rng = np.random.default_rng(6)
+    noise = "".join(chr(rng.integers(33, 127)) for _ in range(2000))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["spam " * 400, noise, ""], pa.string()),
+    })
+    out = compression_stats_batch(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1].ratio_ppm < 50_000       # repetitive: compresses hard
+    assert out.loc[2].ratio_ppm > 500_000      # high entropy: barely
+    assert out.loc[3].ratio_ppm == 1_000_000   # empty: defined as 1.0
+    # exact parity with a direct zlib call
+    assert out.loc[1].zlib_len == len(zlib.compress(b"spam " * 400, 6))
+
+
+def test_compression_ratio_distributed(ray_session, sf_dir):
+    import ray.data
+
+    from ethereum_etl_ray.functions.textstats import compression_stats_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(compression_stats_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    assert len(out) == ds.count()
+    # tiny docs can exceed 1.0 (zlib header overhead); prose sits well below
+    assert (out.ratio_ppm > 0).all()
+    assert out.ratio_ppm.median() < 1_000_000
