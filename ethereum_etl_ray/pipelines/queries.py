@@ -1655,6 +1655,94 @@ def q_outer_join_activity(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_pivot_event_types(sf_dir: str):
+    """PIVOT long→wide (stages/reshape.py:pivot_counts): one row per user
+    with a count column per event type — combiner-shaped, shuffle volume
+    O(keys × types), never O(rows)."""
+    from ethereum_etl_ray.stages.reshape import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(ds.unique("event_type"))
+    return pivot_counts(ds, "user_id", "event_type", types)
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values (bin = floor(value/50)) — a
+    derived-key aggregate with a map-side combiner; the classic profiling
+    operator over an unbounded-cardinality measure."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.floor(v / 50.0).astype(np.int64)
+        agged = (pa.table({"bin": pa.array(b, pa.int64()),
+                           "n": pa.array(np.ones(len(b), np.int64))})
+                 .group_by("bin").aggregate([("n", "sum")]))
+        return pa.table({"bin": agged.column("bin"),
+                         "n": agged.column("n_sum")})
+
+    from ray.data.aggregate import Sum
+
+    agged = (ds.map_batches(bin_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("bin").aggregate(Sum("n", alias_name="n")))
+    return agged.map_batches(
+        lambda t: pa.table({"bin": t.column("bin"),
+                            "n": pc.cast(t.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_corr_qty_discount(sf_dir: str):
+    """Exact distributed Pearson correlation (stages/stats.py:exact_corr)
+    between lineitem quantity and discount-cents: integer moment sums in a
+    combiner, ONE closed-form float expression mirrored by the SQL oracle —
+    bit-identical across engines and partitionings."""
+    from ethereum_etl_ray.stages.stats import exact_corr
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        d = t.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pc.cast(t.column("l_quantity"), pa.int64()),
+            "d100": pa.array(np.floor(d * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    ints = ds.map_batches(to_ints, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.table({"corr": pa.array([exact_corr(ints, "q", "d100")],
+                                      pa.float64())})
+
+
+def q_count_distinct_by_key(sf_dir: str):
+    """Per-key COUNT(DISTINCT): distinct event types per user. Per-batch
+    (key, type) dedup combiner bounds shuffle input by |keys|·|types| per
+    batch (not rows), then one hash aggregate over the deduped pairs."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs = ds.map_batches(dedup_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # batch-local dedup bounds the shuffle; the pair aggregate makes the
+    # set exactly distinct, then a per-user row count over it
+    distinct_pairs = pairs.groupby(["user_id", "event_type"]).count()
+    return (distinct_pairs.groupby("user_id").count()
+            .map_batches(lambda t: pa.table({
+                "user_id": t.column("user_id"),
+                "n_types": pc.cast(t.column("count()"), pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def q_argmax_by_type(sf_dir: str):
+    """ARG_MAX / max_by: per event_type, the full row with the maximum
+    (value, event_id) — the LWW winner-pick machinery (stages/merge.py)
+    applied with value as the version column."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    return lww_merge_dataset(ds, key="event_type",
+                             version=("value", "event_id"))
+
+
 def q_compression_ratio(sf_dir: str):
     """Per-document zlib compression ratio (repetition/boilerplate quality
     signal — functions/textstats.py:compression_stats_batch). Rows-only at
@@ -1768,6 +1856,11 @@ QUERIES = {
     "outer_join_activity": q_outer_join_activity,
     "weighted_sample": q_weighted_sample,
     "compression_ratio": q_compression_ratio,
+    "count_distinct_by_key": q_count_distinct_by_key,
+    "argmax_by_type": q_argmax_by_type,
+    "pivot_event_types": q_pivot_event_types,
+    "value_histogram": q_value_histogram,
+    "corr_qty_discount": q_corr_qty_discount,
     "approx_distinct_users": q_approx_distinct_users,
     "pii_redact": q_pii_redact,
     "normalize_part": q_normalize_part,
@@ -2276,6 +2369,53 @@ ORACLE_SQL = {
     "intersect_keys": """
         SELECT c_custkey FROM customer
         WHERE c_custkey IN (SELECT user_id FROM events)
+    """,
+    # conditional aggregation = PIVOT with a declared column set (the Ray
+    # side derives the same set from unique(); stable across sf dirs)
+    "pivot_event_types": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "value_histogram": """
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    # mirrors stages/stats.py:exact_corr literal-for-literal: exact BIGINT
+    # moment sums, ONE float expression (sqrt/div are IEEE correctly
+    # rounded, so both engines produce the identical double)
+    "corr_qty_discount": """
+        WITH ints AS (
+          SELECT CAST(l_quantity AS BIGINT) AS q,
+                 CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d100
+          FROM lineitem),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS sx, CAST(sum(d100) AS BIGINT) AS sy,
+                 CAST(sum(q * q) AS BIGINT) AS sxx,
+                 CAST(sum(d100 * d100) AS BIGINT) AS syy,
+                 CAST(sum(q * d100) AS BIGINT) AS sxy
+          FROM ints)
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+        FROM m
+    """,
+    "count_distinct_by_key": """
+        SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events GROUP BY user_id
+    """,
+    "argmax_by_type": """
+        SELECT event_id, user_id, event_type, value FROM (
+          SELECT event_id, user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
     """,
     "outer_join_activity": """
         SELECT CAST(e.user_id AS DOUBLE) AS user_id,

@@ -109,3 +109,46 @@ def unpivot(
         return pa.concat_tables(pieces)
 
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key: str,
+    pivot_col: str,
+    values: list[str],
+    *,
+    prefix: str = "n_",
+) -> ray.data.Dataset:
+    """PIVOT (long → wide): one row per key with a count column per pivot
+    value (the dual of ``unpivot``). SQL's PIVOT needs the column set
+    declared up front for the same reason ``values`` is explicit here — the
+    output schema must be static.
+
+    Purely combiner-shaped: each batch reduces to ≤ |keys-in-batch| rows of
+    |values| int64 columns BEFORE the shuffle, then one hash aggregate sums
+    the partials — shuffle volume is O(keys × values), never O(rows).
+    """
+    from ray.data.aggregate import Sum
+
+    def combine(t: pa.Table) -> pa.Table:
+        pv = t.column(pivot_col)
+        cols = {key: t.column(key)}
+        for v in values:
+            cols[prefix + v] = pc.cast(pc.equal(pv, pa.scalar(v)), pa.int64())
+        agged = (pa.table(cols).group_by(key)
+                 .aggregate([(prefix + v, "sum") for v in values]))
+        rename = {f"{prefix}{v}_sum": prefix + v for v in values}
+        return agged.rename_columns([rename.get(c, c)
+                                     for c in agged.column_names])
+
+    partial = ds.map_batches(combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    agged = partial.groupby(key).aggregate(
+        *[Sum(prefix + v, alias_name=prefix + v) for v in values])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({c: (pc.cast(t.column(c), pa.int64())
+                             if c != key else t.column(c))
+                         for c in t.column_names})
+
+    return agged.map_batches(to_int, batch_format="pyarrow")

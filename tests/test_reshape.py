@@ -5,7 +5,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ethereum_etl_ray.stages.reshape import rollup_aggregate, unpivot
+from ethereum_etl_ray.stages.reshape import pivot_counts, rollup_aggregate, unpivot
 
 
 def test_rollup_levels_and_exact_sums(ray_session):
@@ -54,3 +54,23 @@ def test_unpivot_empty_batch(ray_session):
     ds = ray.data.from_arrow(pa.table({"id": pa.array([], pa.int64()),
                                        "m1": pa.array([], pa.float64())}))
     assert unpivot(ds, ["id"], ["m1"]).count() == 0
+
+
+def test_pivot_counts_wide_form(ray_session):
+    df = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                       "t": ["x", "x", "y", "y", "z"]})
+    out = (pivot_counts(ray.data.from_pandas(df).repartition(3),
+                        "k", "t", ["x", "y", "z"])
+           .to_pandas().set_index("k").sort_index())
+    assert out.loc["a"].tolist() == [2, 1, 0]
+    assert out.loc["b"].tolist() == [0, 1, 1]
+    assert list(out.columns) == ["n_x", "n_y", "n_z"]
+
+
+def test_pivot_roundtrips_unpivot(ray_session):
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"k": rng.choice(list("pqr"), 300),
+                       "t": rng.choice(["u", "v"], 300)})
+    wide = pivot_counts(ray.data.from_pandas(df), "k", "t", ["u", "v"])
+    total = wide.to_pandas()[["n_u", "n_v"]].to_numpy().sum()
+    assert total == 300
