@@ -110,11 +110,13 @@ def cmd_compact(args):
     """GC orphans; with ``--rewrite``, also rewrite live partition files with
     uniform row groups (reference backup/drop lifecycle,
     src/repositories/sqlite/base.py:81-136)."""
-    if args.rewrite:
+    if args.rewrite or args.cluster:
         _ray_up(args.num_cpus)
         from ethereum_etl_ray.pipelines.retention import compact_lake
 
-        print(json.dumps(compact_lake(args.out, row_group_rows=args.row_group_rows)))
+        print(json.dumps(compact_lake(args.out,
+                                      row_group_rows=args.row_group_rows,
+                                      cluster_by_url=args.cluster)))
         return
     from ethereum_etl_ray.state.manifest import gc_uncommitted
 
@@ -272,6 +274,9 @@ def main(argv=None):
         if name == "compact":
             sp.add_argument("--rewrite", action="store_true",
                             help="rewrite live partition files with uniform row groups")
+            sp.add_argument("--cluster", action="store_true",
+                            help="also sort each partition file by url so "
+                                 "point reads prune to one row group")
             sp.add_argument("--row-group-rows", type=int, default=65536)
         sp.set_defaults(fn=fn)
 

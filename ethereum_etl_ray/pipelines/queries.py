@@ -1607,6 +1607,18 @@ def q_rollup_counts(sf_dir: str):
                             sum_cents={"o_totalprice": "total_c100"})
 
 
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(status, priority): all four grouping sets derived from
+    the same single-shuffle finest aggregate (stages/reshape.py,
+    cube=True) — the (status)-only, (priority)-only and grand-total levels
+    cost no extra pass over the data."""
+    from ethereum_etl_ray.stages.reshape import rollup_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return rollup_aggregate(ds, ["o_orderstatus", "o_orderpriority"],
+                            sum_cents={"o_totalprice": "total_c100"}, cube=True)
+
+
 def q_unpivot_metrics(sf_dir: str):
     """UNPIVOT/melt lineitem's four numeric metrics to long form
     (stages/reshape.py:unpivot) — purely map-side, zero-copy id columns."""
@@ -1851,6 +1863,7 @@ QUERIES = {
     "grouped_median": q_grouped_median,
     "window_lag_cumsum": q_window_lag_cumsum,
     "rollup_counts": q_rollup_counts,
+    "cube_counts": q_cube_counts,
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
@@ -2355,6 +2368,13 @@ ORACLE_SQL = {
                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                     AS BIGINT) AS total_c100
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "cube_counts": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_c100
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     "unpivot_metrics": """
         SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,

@@ -200,14 +200,22 @@ def _cutoff_version(out_dir: str, manifest: Manifest, keep_ratio: float):
     return row.warc_ts.to_datetime64(), int(row.seq), str(row.url)
 
 
-def compact_lake(out_dir: str, row_group_rows: int = 65536) -> dict:
+def compact_lake(out_dir: str, row_group_rows: int = 65536,
+                 cluster_by_url: bool = False) -> dict:
     """Lake compaction (reference backup/drop lifecycle,
     ``src/repositories/sqlite/base.py:81-136``): rewrite every live partition
     file with uniform row groups (tail windows append-merge with whatever
     row-group layout the write produced; scans prune at row-group granularity,
     so fragmented groups cost read amplification), then GC superseded files.
     Partition-parallel map — no shuffle, content unchanged (checksums must
-    match the manifest)."""
+    match the manifest; the checksum is order-independent by design, so
+    re-ordering is content-preserving).
+
+    ``cluster_by_url=True`` additionally sorts each partition file by url so
+    its parquet row-group min/max statistics become disjoint url ranges —
+    a ``lookup_urls`` point read then prunes to ONE row group instead of
+    scanning every group of the hashed file (hash pruning picks the file,
+    clustering prunes within it)."""
     from ethereum_etl_ray.state.manifest import (
         acquire_replay_lock,
         gc_uncommitted,
@@ -222,12 +230,14 @@ def compact_lake(out_dir: str, row_group_rows: int = 65536) -> dict:
         manifest = load_manifest(out_dir)
         if manifest is None:
             raise FileNotFoundError(f"no committed manifest in {out_dir}")
-        return _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted)
+        return _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted,
+                               cluster_by_url)
     finally:
         release_replay_lock(lock)
 
 
-def _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted) -> dict:
+def _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted,
+                    cluster_by_url=False) -> dict:
     wm = manifest.watermark
     entries = [(int(p), e) for p, e in manifest.partitions.items() if e.rows > 0]
 
@@ -245,6 +255,8 @@ def _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted) -> dict:
                 raise RuntimeError(
                     f"compaction read of partition {part} does not match its "
                     f"manifest checksum — refusing to rewrite")
+            if cluster_by_url:
+                t = t.sort_by([("url", "ascending")])
             rel = os.path.join(f"part={part:05d}", f"data-{wm}-c.parquet")
             tmp = os.path.join(out_dir, rel) + f".tmp.{os.getpid()}"
             os.makedirs(os.path.dirname(tmp), exist_ok=True)

@@ -40,13 +40,17 @@ def rollup_aggregate(
     keys: list[str],
     *,
     sum_cents: dict[str, str] | None = None,
+    cube: bool = False,
 ) -> pa.Table:
-    """GROUP BY ROLLUP(keys): count + exact cent-sums at every prefix level.
+    """GROUP BY ROLLUP(keys) — or CUBE(keys) with ``cube=True``: count +
+    exact cent-sums at every prefix level (ROLLUP) / every key subset (CUBE).
 
     ``sum_cents`` maps input float columns → output column names; each is
     fixed-pointed per row (``floor(x·100 + 0.5)`` int64) before summation so
     every level's sum is exact integer arithmetic. Rolled-up key columns are
-    NULL (SQL ROLLUP convention). Returns the (small) rollup table.
+    NULL (SQL ROLLUP/CUBE convention). Returns the (small) grouping table.
+    CUBE costs nothing extra at scale: all 2^k levels re-aggregate from the
+    same single-shuffle finest result.
     """
     sum_cents = sum_cents or {}
     out_sums = list(sum_cents.values())
@@ -73,13 +77,22 @@ def rollup_aggregate(
                   + [pa.field(s, pa.int64()) for s in out_sums])
         return pa.table({f.name: pa.nulls(0, f.type) for f in fields})
 
-    # coarser levels re-aggregated from the finest (tiny, driver-side)
+    # coarser levels re-aggregated from the finest (tiny, driver-side):
+    # ROLLUP = proper prefixes; CUBE = every proper subset
+    if cube:
+        from itertools import combinations
+
+        subsets = [list(c) for r in range(len(keys) - 1, -1, -1)
+                   for c in combinations(keys, r)]
+    else:
+        subsets = [keys[:depth] for depth in range(len(keys) - 1, -1, -1)]
     levels = [fine_t]
-    for depth in range(len(keys) - 1, -1, -1):
-        lvl = _agg_level(fine_t, keys[:depth], out_sums)
-        for k in keys[depth:]:
-            lvl = lvl.append_column(k, pa.nulls(lvl.num_rows,
-                                                fine_t.schema.field(k).type))
+    for sub in subsets:
+        lvl = _agg_level(fine_t, sub, out_sums)
+        for k in keys:
+            if k not in sub:
+                lvl = lvl.append_column(k, pa.nulls(lvl.num_rows,
+                                                    fine_t.schema.field(k).type))
         levels.append(lvl.select(fine_t.column_names))
     return pa.concat_tables(levels)
 

@@ -91,3 +91,29 @@ def test_time_travel_unknown_generation(tiny_corpus, tmp_path_factory):
     replay(tiny_corpus, out, EngineConfig(num_partitions=8))
     with pytest.raises(FileNotFoundError):
         load_lake(out, generation=999)
+
+
+def test_compact_cluster_preserves_content_and_sorts(tiny_corpus, tmp_path_factory, tiny_oracle):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ethereum_etl_ray.pipelines.retention import compact_lake
+
+    out = str(tmp_path_factory.mktemp("cluster_lake"))
+    replay(tiny_corpus, out, EngineConfig(num_partitions=8))
+    before = load_lake(out).to_pandas()
+    stats = compact_lake(out, row_group_rows=64, cluster_by_url=True)
+    assert stats["partitions_rewritten"] > 0
+    after = load_lake(out).to_pandas()
+    assert dict(zip(after.url, after.text)) == dict(zip(before.url, before.text))
+    # every live file is url-sorted → row-group stats are disjoint ranges
+    m = load_manifest(out)
+    for f in m.files(out):
+        urls = pq.read_table(f, columns=["url"]).column("url").to_pylist()
+        assert urls == sorted(urls)
+    # point lookup still byte-identical against the oracle
+    some = sorted(after.url)[:5]
+    got = lookup_urls(out, some).to_pandas()
+    assert {r.url: r.text for r in got.itertuples()} == \
+        {u: tiny_oracle[u]["text"] for u in some}

@@ -74,3 +74,17 @@ def test_pivot_roundtrips_unpivot(ray_session):
     wide = pivot_counts(ray.data.from_pandas(df), "k", "t", ["u", "v"])
     total = wide.to_pandas()[["n_u", "n_v"]].to_numpy().sum()
     assert total == 300
+
+
+def test_cube_all_subsets(ray_session):
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "val": [1.0, 2.0, 4.0]})
+    out = rollup_aggregate(ray.data.from_pandas(df), ["a", "b"],
+                           sum_cents={"val": "c"}, cube=True).to_pandas()
+    rows = {(r.a, r.b): (r.n, r.c) for r in out.itertuples()}
+    # fine (3) + a-level (2) + b-level (2) + total (1)
+    assert len(out) == 8
+    assert rows[(None, "p")] == (2, 500)   # the CUBE-only grouping set
+    assert rows[(None, "q")] == (1, 200)
+    assert rows[("x", None)] == (2, 300)
+    assert rows[(None, None)] == (3, 700)
