@@ -1596,6 +1596,27 @@ def q_window_lag_cumsum(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "delta_c100", "cum_c100"])
 
 
+def q_string_agg_types(sf_dir: str):
+    """Ordered string aggregation per key (stages/grouped.py:
+    string_agg_ordered) — SQL string_agg(x, ',' ORDER BY ts, event_id);
+    the total order makes the concatenation deterministic cross-engine."""
+    from ethereum_etl_ray.stages.grouped import string_agg_ordered
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return string_agg_ordered(ds, "user_id", "event_type",
+                              ["ts", "event_id"], out_col="types_seq")
+
+
+def q_grouped_mad(sf_dir: str):
+    """Median absolute deviation of event value per user (stages/grouped.py:
+    grouped_mad) — exact discrete-median convention both times, one float
+    subtraction: bit-identical to the two-step SQL twin."""
+    from ethereum_etl_ray.stages.grouped import grouped_mad
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return grouped_mad(ds, "user_id", "value")
+
+
 def q_rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(status, priority) over orders: count + exact cent-sum
     at every prefix level (stages/reshape.py:rollup_aggregate) — ONE shuffle
@@ -1864,6 +1885,8 @@ QUERIES = {
     "window_lag_cumsum": q_window_lag_cumsum,
     "rollup_counts": q_rollup_counts,
     "cube_counts": q_cube_counts,
+    "string_agg_types": q_string_agg_types,
+    "grouped_mad": q_grouped_mad,
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
@@ -2368,6 +2391,19 @@ ORACLE_SQL = {
                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                     AS BIGINT) AS total_c100
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "string_agg_types": """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS types_seq
+        FROM events GROUP BY user_id
+    """,
+    # mirrors stages/grouped.py:grouped_mad two-step discrete-median form
+    "grouped_mad": """
+        WITH med AS (
+          SELECT user_id, quantile_disc(value, 0.5) AS m
+          FROM events GROUP BY user_id)
+        SELECT e.user_id, quantile_disc(abs(e.value - med.m), 0.5) AS mad
+        FROM events e JOIN med USING (user_id) GROUP BY e.user_id
     """,
     "cube_counts": """
         SELECT o_orderstatus, o_orderpriority,

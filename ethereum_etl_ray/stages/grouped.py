@@ -195,3 +195,83 @@ def keyed_window(
         return pa.table(out_cols)
 
     return map_copartitions(ds, key, window, num_partitions=num_partitions)
+
+
+def string_agg_ordered(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    sep: str = ",",
+    out_col: str = "agg",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Ordered string aggregation per key — SQL's
+    ``string_agg(value, sep ORDER BY ...)``. The order columns must totally
+    order rows within a key, so the concatenation is deterministic and
+    cross-engine reproducible. One co-partition shuffle; the join itself is
+    a per-key reduce over the partition-sorted table.
+    """
+
+    def agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: t.column(key),
+                             out_col: pa.array([], pa.string())})
+        t = t.sort_by([(key, "ascending")]
+                      + [(c, "ascending") for c in order_cols])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_pylist()
+        starts = _group_starts(keys)
+        bounds = np.concatenate((starts, [len(keys)]))
+        joined = [sep.join(vals[bounds[i]:bounds[i + 1]])
+                  for i in range(len(starts))]
+        return pa.table({key: t.column(key).take(pa.array(starts, pa.int64())),
+                         out_col: pa.array(joined, pa.string())})
+
+    return map_copartitions(ds.select_columns([key, value_col] + order_cols),
+                            key, agg, num_partitions=num_partitions)
+
+
+def grouped_mad(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    *,
+    out_col: str = "mad",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Median absolute deviation per key — robust dispersion, exact:
+    ``median_disc(|x − median_disc(x)|)`` with the same ``k = ceil(0.5·n)``
+    discrete-median convention as ``grouped_quantile`` (values are PICKED,
+    never interpolated; the abs-deviation is one float subtraction, so the
+    result is bit-identical to a SQL twin mirroring the two-step form).
+    Both medians happen inside ONE partition pass (vectorized run-length
+    group math, no per-key Python).
+    """
+
+    def pick_median(sorted_vals: np.ndarray, starts: np.ndarray,
+                    counts: np.ndarray) -> np.ndarray:
+        ks = np.maximum(1, np.ceil(0.5 * counts)).astype(np.int64)
+        return sorted_vals[starts + ks - 1]
+
+    def mad(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: t.column(key),
+                             out_col: pa.nulls(0, pa.float64())})
+        t = t.sort_by([(key, "ascending"), (col, "ascending")])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = _group_starts(keys)
+        counts = np.diff(np.concatenate((starts, [len(keys)])))
+        med = pick_median(v, starts, counts)
+        dev = np.abs(v - np.repeat(med, counts))
+        # second median over deviations: re-sort dev WITHIN each key run
+        order = np.lexsort((dev, np.repeat(np.arange(len(starts)), counts)))
+        dev_sorted = dev[order]
+        mads = pick_median(dev_sorted, starts, counts)
+        return pa.table({key: t.column(key).take(pa.array(starts, pa.int64())),
+                         out_col: pa.array(mads, pa.float64())})
+
+    return map_copartitions(ds.select_columns([key, col]), key, mad,
+                            num_partitions=num_partitions)

@@ -93,3 +93,52 @@ def test_keyed_window_empty(ray_session):
         "eid": pa.array([], pa.int64()), "k": pa.array([], pa.string()),
         "ts": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}))
     assert keyed_window(ds, "k", ["ts", "eid"], "v").count() == 0
+
+
+def test_string_agg_ordered(ray_session):
+    from ethereum_etl_ray.stages.grouped import string_agg_ordered
+
+    df = pd.DataFrame({
+        "k": ["a", "b", "a", "a", "b"],
+        "v": ["x", "q", "y", "z", "r"],
+        "ts": [3, 1, 1, 2, 2],
+        "eid": [1, 2, 3, 4, 5],
+    })
+    out = (string_agg_ordered(ray.data.from_pandas(df).repartition(3),
+                              "k", "v", ["ts", "eid"], out_col="seq")
+           .to_pandas().set_index("k").seq)
+    assert out.loc["a"] == "y,z,x"
+    assert out.loc["b"] == "q,r"
+
+
+def test_grouped_mad_known_values(ray_session):
+    from ethereum_etl_ray.stages.grouped import grouped_mad
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 4,
+        "v": [1.0, 2.0, 3.0, 4.0, 100.0,   # med=3; devs 2,1,0,1,97 → mad=1
+              10.0, 10.0, 10.0, 10.0],      # med=10; devs all 0 → mad=0
+    })
+    out = (grouped_mad(ray.data.from_pandas(df).repartition(2), "k", "v")
+           .to_pandas().set_index("k").mad)
+    assert out.loc["a"] == 1.0 and out.loc["b"] == 0.0
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    import duckdb
+
+    df = _events(500, keys=19, seed=7)
+    out = (grouped_mad_helper(df).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH med AS (SELECT k, quantile_disc(v, 0.5) AS m FROM df GROUP BY k)
+        SELECT e.k, quantile_disc(abs(e.v - med.m), 0.5) AS mad
+        FROM df e JOIN med USING (k) GROUP BY e.k ORDER BY e.k
+    """).df()
+    pd.testing.assert_frame_equal(out, want)
+
+
+def grouped_mad_helper(df):
+    from ethereum_etl_ray.stages.grouped import grouped_mad
+
+    return grouped_mad(ray.data.from_pandas(df).repartition(4), "k", "v")
