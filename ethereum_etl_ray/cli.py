@@ -209,6 +209,18 @@ def cmd_delete(args):
     print(json.dumps(delete_where(args.out, args.column, args.op, value)))
 
 
+def cmd_fsck(args):
+    """Integrity scrub: verify every committed partition file against its
+    manifest lineage (rows + content checksum)."""
+    _ray_up(args.num_cpus)
+    from ethereum_etl_ray.pipelines.retention import fsck_lake
+
+    rep = fsck_lake(args.out, generation=args.generation)
+    print(json.dumps(rep, default=str))
+    if rep["corrupt"]:
+        sys.exit(2)
+
+
 def cmd_get(args):
     """Point-read current rows by url (PRIMARY-KEY SELECT analogue,
     src/repositories/sqlite/base.py:26-52): manifest-directed hash pruning
@@ -317,6 +329,11 @@ def main(argv=None):
                     choices=["==", "!=", "<", "<=", ">", ">=", "in", "not in"])
     sp.add_argument("--value", required=True)
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("fsck", help="verify committed files against manifest lineage")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--generation", type=int, default=None)
+    sp.set_defaults(fn=cmd_fsck)
 
     sp = sub.add_parser("get", help="point-read rows by url (PK SELECT)")
     sp.add_argument("--out", required=True)

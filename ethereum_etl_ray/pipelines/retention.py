@@ -428,3 +428,53 @@ def delete_where(out_dir: str, column: str, op: str, value) -> dict:
                 "gc_removed": len(removed)}
     finally:
         release_replay_lock(lock)
+
+
+def fsck_lake(out_dir: str, generation: int | None = None) -> dict:
+    """Integrity scrub: re-read every manifest-listed partition file and
+    verify (rows, content checksum) against the committed lineage — the
+    operational `fsck` a lake on shared storage needs after a storage
+    incident (the reference's nearest analogue is its `inspect` eyeballing,
+    src/repositories/sqlite/base.py:26-52; this is the mechanised version).
+
+    Partition-parallel, read-only (no lock needed: atomic manifest loads and
+    immutable committed files). With ``generation=`` scrubs a retained
+    time-travel generation instead of the live pointer. Returns
+    ``{"checked": N, "corrupt": [...]}" — corrupt entries carry the
+    partition, file, expected/actual rows and checksums.
+    """
+    from ethereum_etl_ray.state.manifest import manifest_at
+
+    manifest = (manifest_at(out_dir, generation) if generation is not None
+                else load_manifest(out_dir))
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest in {out_dir}")
+    entries = [(int(p), e) for p, e in manifest.partitions.items() if e.rows > 0]
+    if not entries:
+        return {"checked": 0, "corrupt": []}
+    by_part = dict(entries)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        out = []
+        for part in batch.column("part").to_pylist():
+            entry = by_part[part]
+            path = os.path.join(out_dir, entry.file)
+            try:
+                t = pq.read_table(path)
+                checksum = str(content_checksum(
+                    t.column("url"), t.column("text"), t.column("seq")))
+                rows = t.num_rows
+            except Exception as exc:  # unreadable file is corrupt, not fatal
+                checksum, rows = f"<unreadable: {exc}>", -1
+            out.append({"part": part, "file": entry.file,
+                        "rows_expected": entry.rows, "rows_actual": rows,
+                        "checksum_expected": entry.checksum,
+                        "checksum_actual": checksum,
+                        "ok": rows == entry.rows and checksum == entry.checksum})
+        return pa.Table.from_pylist(out)
+
+    stats = (ray.data.from_items([{"part": p} for p, _ in entries])
+             .map_batches(scrub, batch_size=1, batch_format="pyarrow")
+             .to_pandas())
+    corrupt = stats[~stats.ok].drop(columns="ok").to_dict("records")
+    return {"checked": len(stats), "corrupt": corrupt}

@@ -117,3 +117,44 @@ def test_compact_cluster_preserves_content_and_sorts(tiny_corpus, tmp_path_facto
     got = lookup_urls(out, some).to_pandas()
     assert {r.url: r.text for r in got.itertuples()} == \
         {u: tiny_oracle[u]["text"] for u in some}
+
+
+def test_fsck_clean_and_corrupt(lake, tmp_path):
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ethereum_etl_ray.pipelines.retention import fsck_lake
+
+    rep = fsck_lake(lake)
+    assert rep["checked"] > 0 and rep["corrupt"] == []
+
+    # corrupt a COPY of the lake, not the shared fixture
+    bad = str(tmp_path / "bad_lake")
+    shutil.copytree(lake, bad)
+    m = load_manifest(bad)
+    victim = os.path.join(bad, next(e.file for e in m.partitions.values()
+                                    if e.rows > 0))
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(0, max(0, t.num_rows - 1)), victim)  # drop a row
+    rep = fsck_lake(bad)
+    assert len(rep["corrupt"]) == 1
+    assert rep["corrupt"][0]["rows_actual"] == rep["corrupt"][0]["rows_expected"] - 1
+
+    # unreadable file also flagged, not fatal
+    with open(victim, "wb") as f:
+        f.write(b"garbage")
+    rep = fsck_lake(bad)
+    assert len(rep["corrupt"]) == 1
+    assert "unreadable" in rep["corrupt"][0]["checksum_actual"]
+
+
+def test_cli_fsck_exit_code(lake, capsys):
+    import json
+
+    from ethereum_etl_ray.cli import main
+
+    main(["fsck", "--out", lake])
+    out = json.loads(capsys.readouterr().out)
+    assert out["corrupt"] == []
