@@ -234,9 +234,10 @@ def cmd_get(args):
 
 
 def cmd_export(args):
-    """Lake → CSV export (reference X6: `COPY table TO file`,
-    src/repositories/sqlite/base.py:177-185). Binary html is hex-encoded or
-    dropped (CSV cannot carry raw bytes)."""
+    """Lake → CSV or JSONL export (reference X6: `COPY table TO file`,
+    src/repositories/sqlite/base.py:177-185; X3's orjson row serialization,
+    src/tasks/export/nats.py:11-29, is the JSONL wire). Binary html is
+    stringified or dropped (neither format carries raw bytes)."""
     _ray_up(args.num_cpus)
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -245,7 +246,7 @@ def cmd_export(args):
 
     lake = load_lake(args.out)
 
-    def csv_safe(t: pa.Table) -> pa.Table:
+    def wire_safe(t: pa.Table) -> pa.Table:
         idx = t.schema.get_field_index("html")
         if args.include_html:
             # payloads are utf-8 in this lake; generic binary would need hex
@@ -253,8 +254,31 @@ def cmd_export(args):
                                 pc.cast(t.column("html"), pa.string()))
         return t.remove_column(idx)
 
-    lake.map_batches(csv_safe, batch_format="pyarrow").write_csv(args.dest)
-    print(json.dumps({"dest": args.dest}))
+    safe = lake.map_batches(wire_safe, batch_format="pyarrow")
+    if args.format == "jsonl":
+        from ethereum_etl_ray.functions.wire import json_lines
+
+        def to_lines(t: pa.Table) -> pa.Table:
+            return pa.table({"line": json_lines(t)})
+
+        # one text column → write_csv degenerates to JSON-lines files
+        import os as _os
+        _os.makedirs(args.dest, exist_ok=True)
+
+        def write_part(t: pa.Table, _dir=args.dest) -> pa.Table:
+            import uuid as _uuid
+            lines = json_lines(t)
+            path = _os.path.join(_dir, f"part-{_uuid.uuid4().hex}.jsonl")
+            with open(path, "w") as f:
+                f.write("\n".join(lines.to_pylist()) + ("\n" if len(lines) else ""))
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+        n = int(safe.map_batches(write_part, batch_format="pyarrow")
+                .to_pandas()["rows"].sum())
+        print(json.dumps({"dest": args.dest, "format": "jsonl", "rows": n}))
+        return
+    safe.write_csv(args.dest)
+    print(json.dumps({"dest": args.dest, "format": "csv"}))
 
 
 def main(argv=None):
@@ -345,6 +369,7 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.add_argument("--dest", required=True)
     sp.add_argument("--include-html", action="store_true")
+    sp.add_argument("--format", choices=["csv", "jsonl"], default="csv")
     sp.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)

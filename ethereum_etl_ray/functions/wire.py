@@ -90,6 +90,13 @@ def json_fragments(col) -> pa.Array | None:
     """JSON value literals for one column (utf8 array, nulls → ``null``),
     or None when the column type needs ``json_value_fallback``."""
     col = _plain(col)
+    # normalize large_* widths: binary_join_element_wise has no kernel for
+    # mixed (string, large_string, ...) inputs, and Ray blocks sometimes
+    # carry large_string columns
+    if pa.types.is_large_string(col.type):
+        col = pc.cast(col, pa.string())
+    elif pa.types.is_large_binary(col.type):
+        col = pc.cast(col, pa.binary())
     typ = col.type
     if pa.types.is_string(typ) or pa.types.is_large_string(typ):
         if len(col) and pc.any(pc.match_substring_regex(

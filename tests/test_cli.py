@@ -165,3 +165,24 @@ def test_cli_delete_predicate(capsys, tiny_corpus, tmp_path):
                         "--op", "==", "--value", lang])
     assert got["deleted"] == int((before.lang == lang).sum()) > 0
     assert load_lake(out).count() == len(before) - got["deleted"]
+
+
+def test_cli_export_jsonl_roundtrip(cli_lake, tmp_path, capsys):
+    import glob
+    import json as _json
+
+    from ethereum_etl_ray.cli import main
+    from ethereum_etl_ray.pipelines.replay import load_lake
+
+    dest = str(tmp_path / "jsonl_out")
+    main(["export", "--out", cli_lake, "--dest", dest, "--format", "jsonl"])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["format"] == "jsonl"
+    rows = []
+    for f in sorted(glob.glob(dest + "/*.jsonl")):
+        with open(f) as fh:
+            rows += [_json.loads(l) for l in fh if l.strip()]
+    lake = load_lake(cli_lake).to_pandas()
+    assert rep["rows"] == len(rows) == len(lake)
+    got = {r["url"]: r["text"] for r in rows}
+    assert got == dict(zip(lake.url, lake.text))

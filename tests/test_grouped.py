@@ -142,3 +142,49 @@ def grouped_mad_helper(df):
     from ethereum_etl_ray.stages.grouped import grouped_mad
 
     return grouped_mad(ray.data.from_pandas(df).repartition(4), "k", "v")
+
+
+# ---- property-based: random frames vs pandas oracles -----------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _frames(draw):
+    n = draw(st.integers(5, 120))
+    nk = draw(st.integers(1, 8))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    return pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "k": np.char.add("u", rng.integers(0, nk, n).astype(str)),
+        "ts": rng.integers(0, 50, n).astype(np.int64),
+        "v": rng.uniform(-10, 10, n),
+    })
+
+
+@settings(max_examples=15, deadline=None)
+@given(_frames(), st.integers(1, 5))
+def test_topn_property(df, n):
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (topn_per_key(ds, "k", ["v", "eid"], n, descending=[True, False])
+           .to_pandas())
+    want = (df.sort_values(["v", "eid"], ascending=[False, True])
+            .groupby("k").head(n))
+    assert sorted(got.eid) == sorted(want.eid)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_frames())
+def test_keyed_window_property(df):
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (keyed_window(ds, "k", ["ts", "eid"], "v")
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    w = df.sort_values(["k", "ts", "eid"]).copy()
+    w["c"] = np.floor(w.v.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    w["cum"] = w.groupby("k").c.cumsum()
+    w["delta"] = w.c - w.groupby("k").c.shift()
+    w = w.sort_values("eid").reset_index(drop=True)
+    assert got.cum_c100.tolist() == w.cum.tolist()
+    pd.testing.assert_series_equal(got.delta_c100.astype("float64"),
+                                   w.delta.astype("float64"),
+                                   check_names=False)

@@ -124,3 +124,21 @@ def test_serialize_property_byte_identity(rows):
         "flag": pa.array([r["flag"] for r in rows], pa.bool_()),
     })
     assert _serialize(t) == _serialize_rows(t)
+
+
+def test_json_lines_large_string_column():
+    # Ray blocks sometimes carry large_string/large_binary columns; the
+    # kernels must normalize widths instead of crashing
+    import json as _json
+
+    from ethereum_etl_ray.functions.wire import json_lines
+
+    t = pa.table({
+        "a": pa.array(["x", None, "y"], pa.large_string()),
+        "b": pa.array([b"\x01", b"\x02", None], pa.large_binary()),
+    })
+    lines = [None if v is None else _json.loads(v)
+             for v in json_lines(t).to_pylist()]
+    assert lines[0] == {"a": "x", "b": "01"}
+    assert lines[1] == {"a": None, "b": "02"}
+    assert lines[2] == {"a": "y", "b": None}
