@@ -1617,6 +1617,17 @@ def q_grouped_mad(sf_dir: str):
     return grouped_mad(ds, "user_id", "value")
 
 
+def q_robust_outliers(sf_dir: str):
+    """Per-user robust outlier events: |value − median| > 3·MAD
+    (stages/grouped.py:robust_outliers) — the data-cleaning primitive; both
+    statistics and the filter run in one co-partition pass."""
+    from ethereum_etl_ray.stages.grouped import robust_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = robust_outliers(ds, "user_id", "value", k=3.0)
+    return out.select_columns(["event_id", "user_id", "value", "med", "mad"])
+
+
 def q_rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(status, priority) over orders: count + exact cent-sum
     at every prefix level (stages/reshape.py:rollup_aggregate) — ONE shuffle
@@ -1887,6 +1898,7 @@ QUERIES = {
     "cube_counts": q_cube_counts,
     "string_agg_types": q_string_agg_types,
     "grouped_mad": q_grouped_mad,
+    "robust_outliers": q_robust_outliers,
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
@@ -2404,6 +2416,19 @@ ORACLE_SQL = {
           FROM events GROUP BY user_id)
         SELECT e.user_id, quantile_disc(abs(e.value - med.m), 0.5) AS mad
         FROM events e JOIN med USING (user_id) GROUP BY e.user_id
+    """,
+    # mirrors stages/grouped.py:robust_outliers: discrete median + MAD per
+    # key, |v-med| > 3*mad as one float multiply
+    "robust_outliers": """
+        WITH med AS (
+          SELECT user_id, quantile_disc(value, 0.5) AS med
+          FROM events GROUP BY user_id),
+        mad AS (
+          SELECT e.user_id, quantile_disc(abs(e.value - med.med), 0.5) AS mad
+          FROM events e JOIN med USING (user_id) GROUP BY e.user_id)
+        SELECT e.event_id, e.user_id, e.value, med.med, mad.mad
+        FROM events e JOIN med USING (user_id) JOIN mad USING (user_id)
+        WHERE abs(e.value - med.med) > 3.0 * mad.mad
     """,
     "cube_counts": """
         SELECT o_orderstatus, o_orderpriority,

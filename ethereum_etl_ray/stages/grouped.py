@@ -275,3 +275,44 @@ def grouped_mad(
 
     return map_copartitions(ds.select_columns([key, col]), key, mad,
                             num_partitions=num_partitions)
+
+
+def robust_outliers(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    *,
+    k: float = 3.0,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key robust outlier detection: rows with
+    ``|x − median_key| > k · MAD_key`` (median/MAD are the exact discrete
+    statistics of ``grouped_quantile`` / ``grouped_mad``). The standard
+    data-cleaning primitive for a training corpus — robust to the outliers
+    it hunts, unlike mean/σ z-scores. One co-partition pass computes both
+    statistics AND applies the filter; emits the flagged rows with their
+    ``med`` / ``mad`` columns attached. ``k·MAD`` is a single float
+    multiply, so a SQL twin mirroring the expression is bit-identical.
+    """
+
+    def flag(t: pa.Table) -> pa.Table:
+        base = {c: t.column(c) for c in t.column_names}
+        if t.num_rows == 0:
+            return pa.table({**base, "med": pa.nulls(0, pa.float64()),
+                             "mad": pa.nulls(0, pa.float64())})
+        t = t.sort_by([(key, "ascending"), (col, "ascending")])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = _group_starts(keys)
+        counts = np.diff(np.concatenate((starts, [len(keys)])))
+        ks = np.maximum(1, np.ceil(0.5 * counts)).astype(np.int64)
+        med = np.repeat(v[starts + ks - 1], counts)
+        dev = np.abs(v - med)
+        order = np.lexsort((dev, np.repeat(np.arange(len(starts)), counts)))
+        mad = np.repeat(dev[order][starts + ks - 1], counts)
+        mask = dev > k * mad
+        out = t.filter(pa.array(mask))
+        return (out.append_column("med", pa.array(med[mask], pa.float64()))
+                .append_column("mad", pa.array(mad[mask], pa.float64())))
+
+    return map_copartitions(ds, key, flag, num_partitions=num_partitions)

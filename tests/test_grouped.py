@@ -188,3 +188,18 @@ def test_keyed_window_property(df):
     pd.testing.assert_series_equal(got.delta_c100.astype("float64"),
                                    w.delta.astype("float64"),
                                    check_names=False)
+
+
+def test_robust_outliers_flags_planted(ray_session):
+    from ethereum_etl_ray.stages.grouped import robust_outliers
+
+    df = pd.DataFrame({
+        "eid": range(12),
+        "k": ["a"] * 10 + ["b"] * 2,
+        "v": [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.5, 9.0, 10.0, 500.0,
+              1.0, 1.0],  # 500 is the planted outlier; b has mad=0
+    })
+    out = (robust_outliers(ray.data.from_pandas(df).repartition(3),
+                           "k", "v", k=3.0).to_pandas())
+    assert out.eid.tolist() == [9]
+    assert out.med.iloc[0] == 10.0
