@@ -58,3 +58,14 @@ def content_checksum(*columns) -> int:
         joined = np.char.add(np.char.add(joined.astype(str), "\x00"), p.astype(str))
     h = pd.util.hash_array(joined.astype(object), hash_key=_HASH_KEY, categorize=False)
     return int(h.sum(dtype=np.uint64))
+
+
+def partition_ids_multi(columns: list, num_partitions: int) -> np.ndarray:
+    """Stable partition assignment for a COMPOSITE key: per-column hash64
+    values mixed with a fixed odd multiplier (same recipe as the count-min
+    row derivation) — deterministic across processes, order-sensitive in
+    the column list."""
+    acc = hash64(columns[0])
+    for c in columns[1:]:
+        acc = acc * np.uint64(0x9E3779B97F4A7C15) + hash64(c)
+    return (acc % np.uint64(num_partitions)).astype(np.int32)

@@ -1617,6 +1617,28 @@ def q_grouped_mad(sf_dir: str):
     return grouped_mad(ds, "user_id", "value")
 
 
+def q_multikey_join_group_stats(sf_dir: str):
+    """Composite-key equi-join (stages/joins.py:cogroup_join with column
+    LISTS): every lineitem row enriched with its (returnflag, linestatus)
+    group's row count — the 'attach group stats to rows' pattern, joined on
+    a 2-column key downstream of a hash aggregate."""
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"])
+    grp = (li.groupby(["l_returnflag", "l_linestatus"]).count()
+           .map_batches(lambda t: pa.table({
+               "rf": t.column("l_returnflag"),
+               "ls": t.column("l_linestatus"),
+               "n_group": pc.cast(t.column("count()"), pa.int64())}),
+               batch_format="pyarrow"))
+    out = cogroup_join(li, grp,
+                       left_on=["l_returnflag", "l_linestatus"],
+                       right_on=["rf", "ls"], how="inner")
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_returnflag",
+                               "l_linestatus", "n_group"])
+
+
 def q_robust_outliers(sf_dir: str):
     """Per-user robust outlier events: |value − median| > 3·MAD
     (stages/grouped.py:robust_outliers) — the data-cleaning primitive; both
@@ -1899,6 +1921,7 @@ QUERIES = {
     "string_agg_types": q_string_agg_types,
     "grouped_mad": q_grouped_mad,
     "robust_outliers": q_robust_outliers,
+    "multikey_join_group_stats": q_multikey_join_group_stats,
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
@@ -2416,6 +2439,15 @@ ORACLE_SQL = {
           FROM events GROUP BY user_id)
         SELECT e.user_id, quantile_disc(abs(e.value - med.m), 0.5) AS mad
         FROM events e JOIN med USING (user_id) GROUP BY e.user_id
+    """,
+    "multikey_join_group_stats": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus,
+               g.n_group
+        FROM lineitem l
+        JOIN (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                     CAST(count(*) AS BIGINT) AS n_group
+              FROM lineitem GROUP BY 1, 2) g
+          ON l.l_returnflag = g.rf AND l.l_linestatus = g.ls
     """,
     # mirrors stages/grouped.py:robust_outliers: discrete median + MAD per
     # key, |v-med| > 3*mad as one float multiply

@@ -114,31 +114,44 @@ def grouped_quantile(
     ds: ray.data.Dataset,
     key: str,
     col: str,
-    p: float,
+    p: float | list[float],
     *,
-    out_col: str | None = None,
+    out_col: str | list[str] | None = None,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Exact discrete quantile per key: the k-th smallest ``col`` value with
-    ``k = ceil(p·n_key)`` (1-indexed) — ``quantile_disc`` convention, the
-    same rank rule the global ``percentiles`` query proved bit-identical
+    """Exact discrete quantile(s) per key: the k-th smallest ``col`` value
+    with ``k = ceil(p·n_key)`` (1-indexed) — ``quantile_disc`` convention,
+    the same rank rule the global ``percentiles`` query proved bit-identical
     against DuckDB. The value is picked, never interpolated, so floats pass
     through untouched (exact cross-engine parity).
+
+    ``p`` may be a list — every quantile comes out of the SAME single
+    sort + rank pass (one column per p), so an IQR or a p25/p50/p99 profile
+    costs no more than a lone median.
     """
-    out_col = out_col or f"q{int(p * 100)}"
+    ps = [p] if isinstance(p, float) else list(p)
+    if out_col is None:
+        outs = [f"q{int(q * 100)}" for q in ps]
+    else:
+        outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(outs) != len(ps):
+        raise ValueError("out_col must match p in length")
 
     def pick(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({key: t.column(key),
-                             out_col: pa.nulls(0, t.schema.field(col).type)})
+            cols = {key: t.column(key)}
+            for o in outs:
+                cols[o] = pa.nulls(0, t.schema.field(col).type)
+            return pa.table(cols)
         t = t.sort_by([(key, "ascending"), (col, "ascending")])
         keys = t.column(key).to_numpy(zero_copy_only=False)
         starts = _group_starts(keys)
         counts = np.diff(np.concatenate((starts, [len(keys)])))
-        ks = np.maximum(1, np.ceil(p * counts)).astype(np.int64)
-        idx = starts + ks - 1
-        return pa.table({key: t.column(key).take(pa.array(starts, pa.int64())),
-                         out_col: t.column(col).take(pa.array(idx, pa.int64()))})
+        cols = {key: t.column(key).take(pa.array(starts, pa.int64()))}
+        for q, o in zip(ps, outs):
+            ks = np.maximum(1, np.ceil(q * counts)).astype(np.int64)
+            cols[o] = t.column(col).take(pa.array(starts + ks - 1, pa.int64()))
+        return pa.table(cols)
 
     return map_copartitions(ds.select_columns([key, col]), key, pick,
                             num_partitions=num_partitions)

@@ -230,8 +230,8 @@ def cogroup_join(
     left_ds: ray.data.Dataset,
     right_ds: ray.data.Dataset,
     *,
-    left_on: str,
-    right_on: str,
+    left_on: str | list[str],
+    right_on: str | list[str],
     how: str = "inner",
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
@@ -244,12 +244,18 @@ def cogroup_join(
     aggregates (cf. ``bucketed_asof`` + the asof_join_orders oracle).
     Column names must be disjoint across sides; ``inner``/``left``/``right``/
     ``outer`` — unmatched rows of the preserved side(s) come back null-padded
-    (partitions empty on one side emit the other side whole)."""
-    from ethereum_etl_ray.functions.hashing import partition_ids
+    (partitions empty on one side emit the other side whole). ``left_on`` /
+    ``right_on`` may be COLUMN LISTS for a composite-key equi-join (both
+    sides partition by the same mixed hash of the key tuple)."""
+    from ethereum_etl_ray.functions.hashing import partition_ids_multi
 
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError(
             f"cogroup_join supports how='inner'|'left'|'right'|'outer', got {how!r}")
+    left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+    right_on = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(left_on) != len(right_on):
+        raise ValueError("left_on and right_on must have equal length")
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -269,16 +275,16 @@ def cogroup_join(
                for n, t in (list(zip(l_cols, l_schema.types))
                             + list(zip(r_cols, r_schema.types)))]
 
-    def widen(side_flag: int, key_col: str):
+    def widen(side_flag: int, key_cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             cols = {}
             for name, typ in unified:
                 cols[name] = (t.column(name) if name in t.column_names
                               else pa.nulls(t.num_rows, typ))
             cols["__side"] = pa.array(np.full(t.num_rows, side_flag), pa.int8())
-            key = cols[key_col]
             cols["__part"] = pa.array(
-                partition_ids(key, num_partitions) if t.num_rows
+                partition_ids_multi([cols[k] for k in key_cols],
+                                    num_partitions) if t.num_rows
                 else np.array([], np.int32), pa.int32())
             return pa.table(cols)
 

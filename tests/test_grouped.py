@@ -203,3 +203,19 @@ def test_robust_outliers_flags_planted(ray_session):
                            "k", "v", k=3.0).to_pandas())
     assert out.eid.tolist() == [9]
     assert out.med.iloc[0] == 10.0
+
+
+def test_grouped_quantile_multi_p_single_pass(ray_session):
+    import duckdb
+
+    from ethereum_etl_ray.stages.grouped import grouped_quantile
+
+    df = _events(400, keys=13, seed=9)
+    out = (grouped_quantile(ray.data.from_pandas(df).repartition(4),
+                            "k", "v", [0.25, 0.5, 0.99])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT k, quantile_disc(v, 0.25) AS q25, quantile_disc(v, 0.5) AS q50,
+               quantile_disc(v, 0.99) AS q99
+        FROM df GROUP BY k ORDER BY k""").df()
+    pd.testing.assert_frame_equal(out, want)

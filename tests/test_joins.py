@@ -133,3 +133,31 @@ def test_cogroup_join_outer_and_right():
     assert len(out_r) == 2 and set(out_r.rk.dropna()) == {2, 3}
     only_r = out_r[out_r.rk == 3]
     assert only_r.lk.isna().all()
+
+
+def test_cogroup_join_composite_key():
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    left = ray.data.from_items([
+        {"a": 1, "b": "x", "lv": 10},
+        {"a": 1, "b": "y", "lv": 20},
+        {"a": 2, "b": "x", "lv": 30},
+    ]).repartition(2)
+    right = ray.data.from_items([
+        {"ra": 1, "rb": "x", "rv": 100},
+        {"ra": 2, "rb": "x", "rv": 200},
+        {"ra": 9, "rb": "z", "rv": 900},
+    ])
+    out = (cogroup_join(left, right, left_on=["a", "b"],
+                        right_on=["ra", "rb"]).to_pandas())
+    got = sorted(zip(out.lv, out.rv))
+    assert got == [(10, 100), (30, 200)]  # (1,y) and (9,z) unmatched
+
+
+def test_cogroup_join_key_length_mismatch():
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    a = ray.data.from_items([{"x": 1}])
+    b = ray.data.from_items([{"y": 1, "z": 2}])
+    with pytest.raises(ValueError, match="equal length"):
+        cogroup_join(a, b, left_on=["x"], right_on=["y", "z"])
