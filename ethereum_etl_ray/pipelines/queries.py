@@ -1639,6 +1639,74 @@ def q_multikey_join_group_stats(sf_dir: str):
                                "l_linestatus", "n_group"])
 
 
+def q_pagerank_keys(sf_dir: str):
+    """Distributed PageRank (stages/graph.py:pagerank) over the
+    customer→nation→region key graph — iterative fixpoint: co-group join +
+    hash aggregate per round, rank state materialized to keep lineage O(1).
+    Rows-only (float contribution sums are order-dependent); the numpy
+    power-iteration oracle lives in tests/test_graph.py."""
+    from ethereum_etl_ray.stages.graph import pagerank
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: _ns_edges(t, "c:", "c_custkey", "n:", "c_nationkey"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).map_batches(
+        lambda t: _ns_edges(t, "n:", "n_nationkey", "r:", "n_regionkey"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(cust.union(nation), iters=5)
+
+
+def q_user_value_profile(sf_dir: str):
+    """Per-user q25/q50/q99 value profile — THREE exact discrete quantiles
+    from ONE sort+rank pass (stages/grouped.py:grouped_quantile with a p
+    list); an IQR profile costs no more than a lone median."""
+    from ethereum_etl_ray.stages.grouped import grouped_quantile
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return grouped_quantile(ds, "user_id", "value", [0.25, 0.5, 0.99])
+
+
+def q_hourly_distinct_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT): distinct users per event hour — derived
+    time-bin key + the batch-local pair-dedup combiner (shuffle bounded by
+    |bins × users-in-batch|, not rows)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def bin_pairs(t: pa.Table) -> pa.Table:
+        # integer epoch-µs division (epoch µs exceed 2^53 — float division
+        # could misbin an edge; int64 // is exact and matches SQL's //)
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return (pa.table({"hour": hour, "user_id": t.column("user_id")})
+                .group_by(["hour", "user_id"]).aggregate([]))
+
+    pairs = ds.map_batches(bin_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    distinct = pairs.groupby(["hour", "user_id"]).count()
+    return (distinct.groupby("hour").count()
+            .map_batches(lambda t: pa.table({
+                "hour": t.column("hour"),
+                "n_users": pc.cast(t.column("count()"), pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def q_type_share(sf_dir: str):
+    """Percent-of-total per group: each event type's count and its share of
+    all events — exact int64 counts, ONE float division mirrored by the SQL
+    twin (int operands below 2^53 → bit-identical doubles)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    n_total = ds.count()
+    counts = (ds.groupby("event_type").count()
+              .map_batches(lambda t: pa.table({
+                  "event_type": t.column("event_type"),
+                  "n": pc.cast(t.column("count()"), pa.int64())}),
+                  batch_format="pyarrow").to_pandas())
+    share = counts.n.to_numpy().astype(np.float64) / float(n_total)
+    return pa.table({"event_type": pa.array(counts.event_type, pa.string()),
+                     "n": pa.array(counts.n.to_numpy(), pa.int64()),
+                     "share": pa.array(share, pa.float64())})
+
+
 def q_robust_outliers(sf_dir: str):
     """Per-user robust outlier events: |value − median| > 3·MAD
     (stages/grouped.py:robust_outliers) — the data-cleaning primitive; both
@@ -1922,6 +1990,10 @@ QUERIES = {
     "grouped_mad": q_grouped_mad,
     "robust_outliers": q_robust_outliers,
     "multikey_join_group_stats": q_multikey_join_group_stats,
+    "user_value_profile": q_user_value_profile,
+    "hourly_distinct_users": q_hourly_distinct_users,
+    "type_share": q_type_share,
+    "pagerank_keys": q_pagerank_keys,
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
@@ -2439,6 +2511,24 @@ ORACLE_SQL = {
           FROM events GROUP BY user_id)
         SELECT e.user_id, quantile_disc(abs(e.value - med.m), 0.5) AS mad
         FROM events e JOIN med USING (user_id) GROUP BY e.user_id
+    """,
+    "user_value_profile": """
+        SELECT user_id, quantile_disc(value, 0.25) AS q25,
+               quantile_disc(value, 0.5) AS q50,
+               quantile_disc(value, 0.99) AS q99
+        FROM events GROUP BY user_id
+    """,
+    "hourly_distinct_users": """
+        SELECT epoch_us(ts) // 3600000000 AS hour,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    """,
+    "type_share": """
+        WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY event_type),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+        SELECT event_type, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM c CROSS JOIN tot
     """,
     "multikey_join_group_stats": """
         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus,

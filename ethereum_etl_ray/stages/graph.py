@@ -206,3 +206,131 @@ def graph_reach(
         frontier = new[["start", "node"]]
     return (visited.sort_values(["start", "hops", "node"], kind="stable")
             .reset_index(drop=True))
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+    driver_threshold: int = 200_000,
+) -> ray.data.Dataset:
+    """Distributed PageRank by power iteration — the engine's iterative-
+    algorithm shape (the reference's only graph workload is a bounded BFS,
+    `src/tasks/extract/pool.py:202-213`; rank propagation generalizes it to
+    fixpoint iteration).
+
+    Simplified (dangling mass dropped — ranks order nodes, they need not
+    sum to 1): ``r'(v) = (1-d)/N + d·Σ_{u→v} r(u)/outdeg(u)``.
+
+    Physical plan per iteration: one co-group join (ranks ⋈ edges on src)
+    + one hash aggregate (sum contributions per dst) + one left co-group
+    join back onto the node set — all through the engine partitioner; the
+    rank state is MATERIALIZED each iteration so the lineage stays O(1)
+    deep instead of re-executing every prior round (the classic iterative-
+    Dataset trap). Edge fan-out is bounded by the out-degree attached once
+    up front. Float contribution sums are order-dependent → results carry
+    float tolerance, not byte determinism (pytest oracle, not SQL).
+
+    Exact-below / distributed-above gate (the engine's standard pattern —
+    cf. ``winner_exact_threshold``, LSH streaming, ``frontier_threshold``):
+    graphs whose EDGE count provably fits the driver (≤ ``driver_threshold``)
+    iterate in one numpy pass — dozens of tiny distributed rounds would be
+    pure scheduling overhead; larger graphs take the distributed route.
+    Both routes compute the identical recipe (equivalence-tested).
+    """
+    from ray.data.aggregate import Sum
+
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        ed_df = (edges.map_batches(
+            lambda t: pa.table({
+                "s": pc.cast(t.column(src_col), pa.string()),
+                "t": pc.cast(t.column(dst_col), pa.string())}),
+            batch_format="pyarrow").to_pandas())
+        # a fully-empty dataset can lose its schema through map_batches
+        node_list = (sorted(set(ed_df["s"]) | set(ed_df["t"]))
+                     if "s" in ed_df.columns else [])
+        if not node_list:
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.string()),
+                "rank": pa.array([], pa.float64())}))
+        idx = {n: i for i, n in enumerate(node_list)}
+        si = ed_df.s.map(idx).to_numpy(np.int64)
+        ti = ed_df.t.map(idx).to_numpy(np.int64)
+        n = len(node_list)
+        out = np.bincount(si, minlength=n).astype(np.float64)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = np.bincount(ti, weights=r[si] / out[si], minlength=n)
+            r = (1.0 - damping) / n + damping * contrib
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(node_list, pa.string()),
+            "rank": pa.array(r, pa.float64())}))
+
+    # node set = distinct(src) ∪ distinct(dst); out-degree per src
+    def project(col: str, name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            arr = t.column(col)
+            return pa.table({name: pc.cast(arr, pa.string())})
+        return fn
+
+    nodes = (edges.map_batches(project(src_col, "node"), batch_format="pyarrow")
+             .union(edges.map_batches(project(dst_col, "node"),
+                                      batch_format="pyarrow"))
+             .groupby("node").count()
+             .map_batches(lambda t: t.select(["node"]), batch_format="pyarrow")
+             .materialize())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64())}))
+
+    deg = (edges.groupby(src_col).count()
+           .map_batches(lambda t: pa.table({
+               "dsrc": pc.cast(t.column(src_col), pa.string()),
+               "outdeg": pc.cast(t.column("count()"), pa.float64())}),
+               batch_format="pyarrow"))
+    ed = (edges.map_batches(lambda t: pa.table({
+              "esrc": pc.cast(t.column(src_col), pa.string()),
+              "edst": pc.cast(t.column(dst_col), pa.string())}),
+              batch_format="pyarrow"))
+    ewd = cogroup_join(ed, deg, left_on="esrc", right_on="dsrc",
+                       num_partitions=num_partitions).materialize()
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.map_batches(
+        lambda t, n=n_nodes: t.append_column(
+            "rank", pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        joined = cogroup_join(ewd, ranks, left_on="esrc", right_on="node",
+                              num_partitions=num_partitions)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            d = t.column("outdeg").to_numpy(zero_copy_only=False)
+            return pa.table({"cnode": t.column("edst"),
+                             "c": pa.array(r / d, pa.float64())})
+
+        sums = (joined.map_batches(contrib, batch_format="pyarrow")
+                .groupby("cnode").aggregate(Sum("c", alias_name="csum")))
+        merged = cogroup_join(nodes, sums, left_on="node", right_on="cnode",
+                              how="left", num_partitions=num_partitions)
+
+        def apply_rank(t: pa.Table) -> pa.Table:
+            s = t.column("csum").to_numpy(zero_copy_only=False).astype(np.float64)
+            s = np.nan_to_num(s, nan=0.0)
+            return pa.table({"node": t.column("node"),
+                             "rank": pa.array(base + damping * s, pa.float64())})
+
+        ranks = merged.map_batches(apply_rank,
+                                   batch_format="pyarrow").materialize()
+    return ranks

@@ -83,3 +83,61 @@ def test_join_route_terminates_on_cycles():
     e = _edges([("a", "b"), ("b", "a")])
     out = graph_reach_ds(e, ["a"], max_hops=5).to_pandas()
     assert _as_dict(out) == {("a", "a"): 0, ("a", "b"): 1}
+
+
+def _np_pagerank(edge_list, iters=10, d=0.85):
+    import numpy as np
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edge_list:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        for s, t in edge_list:
+            nxt[idx[t]] += d * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    from ethereum_etl_ray.stages.graph import pagerank
+
+    edge_list = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+                 ("d", "c"), ("d", "a"), ("b", "d")]
+    edges = ray.data.from_items([{"src": s, "dst": t} for s, t in edge_list]
+                                ).repartition(3)
+    got = (pagerank(edges, iters=8, driver_threshold=0)
+           .to_pandas().set_index("node")["rank"])
+    want = _np_pagerank(edge_list, iters=8)
+    assert set(got.index) == set(want)
+    for node, r in want.items():
+        assert abs(got.loc[node] - r) < 1e-9, node
+    # distributed argmax agrees with the oracle's
+    assert got.idxmax() == max(want, key=want.get)
+
+
+def test_pagerank_empty_graph(ray_session):
+    from ethereum_etl_ray.stages.graph import pagerank
+
+    import pyarrow as pa
+
+    e = ray.data.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                      "dst": pa.array([], pa.string())}))
+    assert pagerank(e, iters=2).count() == 0
+
+
+def test_pagerank_routes_equivalent(ray_session):
+    """Driver-exact and distributed routes compute the same recipe."""
+    from ethereum_etl_ray.stages.graph import pagerank
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    edges = ray.data.from_items([{"src": s, "dst": t} for s, t in edge_list])
+    fast = (pagerank(edges, iters=6).to_pandas()
+            .set_index("node")["rank"])
+    dist = (pagerank(edges, iters=6, driver_threshold=0).to_pandas()
+            .set_index("node")["rank"])
+    for node in fast.index:
+        assert abs(fast.loc[node] - dist.loc[node]) < 1e-9
