@@ -182,6 +182,11 @@ def keyed_window(
             out_cols["delta_c100"] = pa.nulls(0, pa.int64())
             out_cols["cum_c100"] = pa.nulls(0, pa.int64())
             return pa.table(out_cols)
+        if t.column(value_col).null_count:
+            raise ValueError(
+                f"keyed_window: {value_col!r} contains nulls — the int64 "
+                "fixed-point conversion would silently corrupt them; filter "
+                "or fill nulls first")
         t = t.sort_by([(key, "ascending")]
                       + [(c, "ascending") for c in order_cols])
         keys = t.column(key).to_numpy(zero_copy_only=False)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -219,3 +220,11 @@ def test_grouped_quantile_multi_p_single_pass(ray_session):
                quantile_disc(v, 0.99) AS q99
         FROM df GROUP BY k ORDER BY k""").df()
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_keyed_window_rejects_null_values(ray_session):
+    df = pd.DataFrame({"eid": [1, 2], "k": ["a", "a"],
+                       "ts": [1, 2], "v": [1.0, None]})
+    with pytest.raises(Exception, match="nulls"):
+        keyed_window(ray.data.from_pandas(df), "k", ["ts", "eid"],
+                     "v").to_pandas()
