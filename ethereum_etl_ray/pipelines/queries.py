@@ -1639,6 +1639,20 @@ def q_multikey_join_group_stats(sf_dir: str):
                                "l_linestatus", "n_group"])
 
 
+def q_approx_grouped_median(sf_dir: str):
+    """Bounded-state per-key median (stages/grouped.py:
+    grouped_quantile_approx): deterministic bottom-k hash sample per key —
+    the hot-key scale path of the grouped-quantile family. Keys at sf0.01
+    fit the sample whole, so the result is EXACT here and the whole
+    sample+select machinery oracles against quantile_disc; the
+    approximation bound is pytest-oracled on a planted Zipf key."""
+    from ethereum_etl_ray.stages.grouped import grouped_quantile_approx
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return grouped_quantile_approx(ds, "user_id", "value", 0.5,
+                                   id_col="event_id", sample_k=1024)
+
+
 def q_pagerank_keys(sf_dir: str):
     """Distributed PageRank (stages/graph.py:pagerank) over the
     customer→nation→region key graph — iterative fixpoint: co-group join +
@@ -1994,6 +2008,7 @@ QUERIES = {
     "hourly_distinct_users": q_hourly_distinct_users,
     "type_share": q_type_share,
     "pagerank_keys": q_pagerank_keys,
+    "approx_grouped_median": q_approx_grouped_median,
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
@@ -2511,6 +2526,11 @@ ORACLE_SQL = {
           FROM events GROUP BY user_id)
         SELECT e.user_id, quantile_disc(abs(e.value - med.m), 0.5) AS mad
         FROM events e JOIN med USING (user_id) GROUP BY e.user_id
+    """,
+    # exact here: every sf0.01 key fits sample_k whole (~67 events/user)
+    "approx_grouped_median": """
+        SELECT user_id, quantile_disc(value, 0.5) AS q50
+        FROM events GROUP BY user_id
     """,
     "user_value_profile": """
         SELECT user_id, quantile_disc(value, 0.25) AS q25,

@@ -334,3 +334,43 @@ def robust_outliers(
                 .append_column("mad", pa.array(mad[mask], pa.float64())))
 
     return map_copartitions(ds, key, flag, num_partitions=num_partitions)
+
+
+def grouped_quantile_approx(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    p: float | list[float],
+    *,
+    id_col: str,
+    sample_k: int = 1024,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Approximate per-key quantiles with BOUNDED per-key state — the scale
+    escape hatch for ``grouped_quantile``, whose exact path needs a whole
+    key's rows in one task (fine for normal keys, not for a Zipf-hot one at
+    10^10 rows).
+
+    Mechanism: a deterministic bottom-``sample_k`` sample per key, priority
+    = ``hash64(id)`` — bottom-k by a uniform hash IS a uniform k-sample,
+    and it is MERGEABLE (bottom-k of a union = bottom-k of the parts'
+    bottom-ks), so the existing ``topn_per_key`` combiner bounds every
+    (batch, key)'s shuffle contribution at ``sample_k`` rows. The exact
+    discrete quantile of the sample estimates the population quantile with
+    error O(1/sqrt(sample_k)) in rank. Deterministic: same ids → same
+    sample → same answer, any partitioning.
+    """
+    from ethereum_etl_ray.functions.hashing import hash64
+
+    def prioritize(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pri = hash64(ids.astype(str)).astype(np.uint64).view(np.int64)
+        return pa.table({key: t.column(key), col: t.column(col),
+                         "__pri": pa.array(pri, pa.int64())})
+
+    scored = ds.select_columns([key, col, id_col]).map_batches(
+        prioritize, batch_format="pyarrow", zero_copy_batch=True)
+    sampled = topn_per_key(scored, key, ["__pri"], sample_k,
+                           descending=False, num_partitions=num_partitions)
+    return grouped_quantile(sampled, key, col, p,
+                            num_partitions=num_partitions)

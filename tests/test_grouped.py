@@ -228,3 +228,35 @@ def test_keyed_window_rejects_null_values(ray_session):
     with pytest.raises(Exception, match="nulls"):
         keyed_window(ray.data.from_pandas(df), "k", ["ts", "eid"],
                      "v").to_pandas()
+
+
+def test_grouped_quantile_approx_bounds_and_determinism(ray_session):
+    from ethereum_etl_ray.stages.grouped import (
+        grouped_quantile,
+        grouped_quantile_approx,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 30_000
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "k": np.where(np.arange(n) < 25_000, "hot", "cold"),  # Zipf-hot key
+        "v": rng.uniform(0, 1000, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    approx = (grouped_quantile_approx(ds, "k", "v", 0.5, id_col="eid",
+                                      sample_k=1024)
+              .to_pandas().set_index("k").q50)
+    exact = (grouped_quantile(ds, "k", "v", 0.5)
+             .to_pandas().set_index("k").q50)
+    # rank error O(1/sqrt(k)) → value error small for a uniform distribution
+    for kk in ("hot", "cold"):
+        assert abs(approx.loc[kk] - exact.loc[kk]) < 60.0, kk
+    # partitioning-independent (deterministic hash sample)
+    again = (grouped_quantile_approx(ds.repartition(2), "k", "v", 0.5,
+                                     id_col="eid", sample_k=1024)
+             .to_pandas().set_index("k").q50)
+    assert (again == approx).all()
+    # small keys (≤ sample_k rows) are EXACT — the sample is the whole key
+    assert approx.loc["cold"] == exact.loc["cold"] or len(
+        df[df.k == "cold"]) > 1024
