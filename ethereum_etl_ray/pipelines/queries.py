@@ -1653,6 +1653,28 @@ def q_approx_grouped_median(sf_dir: str):
                                    id_col="event_id", sample_k=1024)
 
 
+def q_profile_events(sf_dir: str):
+    """One-pass data-quality profile (stages/profile.py:profile_table):
+    per-column row count, null count, value-domain min/max — combiner-
+    shaped (one summary row per column per batch). `value` is excluded:
+    float→string formatting differs across engines; ints/timestamps/strings
+    stringify identically."""
+    from ethereum_etl_ray.stages.profile import profile_table
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return profile_table(ds)
+
+
+def q_pk_violations(sf_dir: str):
+    """Key-uniqueness audit (stages/profile.py:key_violations): events
+    violating a proposed (user_id, event_type) uniqueness constraint, with
+    duplicate counts — the constraint check behind every keyed upsert."""
+    from ethereum_etl_ray.stages.profile import key_violations
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return key_violations(ds, ["user_id", "event_type"])
+
+
 def q_pagerank_keys(sf_dir: str):
     """Distributed PageRank (stages/graph.py:pagerank) over the
     customer→nation→region key graph — iterative fixpoint: co-group join +
@@ -2009,6 +2031,8 @@ QUERIES = {
     "type_share": q_type_share,
     "pagerank_keys": q_pagerank_keys,
     "approx_grouped_median": q_approx_grouped_median,
+    "profile_events": q_profile_events,
+    "pk_violations": q_pk_violations,
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
@@ -2526,6 +2550,26 @@ ORACLE_SQL = {
           FROM events GROUP BY user_id)
         SELECT e.user_id, quantile_disc(abs(e.value - med.m), 0.5) AS mad
         FROM events e JOIN med USING (user_id) GROUP BY e.user_id
+    """,
+    "profile_events": """
+        SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) - count(event_id) AS BIGINT) AS nulls,
+               CAST(min(event_id) AS VARCHAR) AS min,
+               CAST(max(event_id) AS VARCHAR) AS max FROM events
+        UNION ALL
+        SELECT 'ts', count(*), count(*) - count(ts),
+               CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', count(*), count(*) - count(event_type),
+               min(event_type), max(event_type) FROM events
+    """,
+    "pk_violations": """
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type HAVING count(*) > 1
     """,
     # exact here: every sf0.01 key fits sample_k whole (~67 events/user)
     "approx_grouped_median": """
