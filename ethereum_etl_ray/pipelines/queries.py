@@ -1653,6 +1653,17 @@ def q_approx_grouped_median(sf_dir: str):
                                    id_col="event_id", sample_k=1024)
 
 
+def q_phrase_count(sf_dir: str):
+    """Exact token-phrase occurrence counts per document
+    (stages/invindex.py:phrase_count) — overlapping matches included,
+    purely map-side via chained shifted vector equalities over the batch's
+    flattened token array with a doc-boundary mask."""
+    from ethereum_etl_ray.stages.invindex import phrase_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return phrase_count(ds, ["table", "scan"])
+
+
 def q_profile_events(sf_dir: str):
     """One-pass data-quality profile (stages/profile.py:profile_table):
     per-column row count, null count, value-domain min/max — combiner-
@@ -2033,6 +2044,7 @@ QUERIES = {
     "approx_grouped_median": q_approx_grouped_median,
     "profile_events": q_profile_events,
     "pk_violations": q_pk_violations,
+    "phrase_count": q_phrase_count,
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
@@ -2550,6 +2562,16 @@ ORACLE_SQL = {
           FROM events GROUP BY user_id)
         SELECT e.user_id, quantile_disc(abs(e.value - med.m), 0.5) AS mad
         FROM events e JOIN med USING (user_id) GROUP BY e.user_id
+    """,
+    # overlapping occurrences via position-indexed list lambda
+    "phrase_count": """
+        SELECT * FROM (
+          SELECT doc_id,
+                 CAST(len(list_filter(range(1, len(l)),
+                      i -> l[i] = 'table' AND l[i+1] = 'scan')) AS BIGINT)
+                   AS n_matches
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        WHERE n_matches > 0
     """,
     "profile_events": """
         SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n,

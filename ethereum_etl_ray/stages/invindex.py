@@ -180,3 +180,47 @@ def bm25_scores(ds: ray.data.Dataset, terms: list[str], *, k1: float = 1.2,
                          "score": pa.array(s, pa.float64())})
 
     return posts.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def phrase_count(ds: ray.data.Dataset, phrase: list[str], *,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-document count of exact token-phrase occurrences (overlapping
+    included) — the positional companion to the bag-of-words postings: a
+    curation pipeline counts benchmark phrases / boilerplate n-grams this
+    way. Purely map-side (each doc is one row — no shuffle): the batch's
+    tokens flatten to ONE array and the phrase match is a chain of shifted
+    vector equalities, with a doc-boundary mask so matches never straddle
+    documents. Emits docs with ≥1 match as (doc_id, n_matches).
+    """
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    L = len(phrase)
+
+    def count(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_matches": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(t.column(text_col).combine_chunks(),
+                                pattern=" ")
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(flat) < L:
+            return empty
+        did = np.repeat(np.arange(t.num_rows), lens)
+        m = flat[: len(flat) - L + 1] == phrase[0]
+        for k in range(1, L):
+            m &= flat[k: len(flat) - L + 1 + k] == phrase[k]
+        # a match is valid only if its last token is still in the same doc
+        m &= did[: len(flat) - L + 1] == did[L - 1:]
+        counts = np.bincount(did[: len(flat) - L + 1][m],
+                             minlength=t.num_rows)
+        hit = counts > 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[hit], pa.int64()),
+                         "n_matches": pa.array(counts[hit], pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True)

@@ -105,3 +105,32 @@ def test_bm25_no_match_terms_empty(ray_session):
     ds = ray.data.from_arrow(_docs([(1, "a b c"), (2, "d e")]))
     out = bm25_scores(ds, ["zz_not_present"]).to_pandas()
     assert len(out) == 0
+
+
+def test_phrase_count_overlapping_and_boundaries(ray_session):
+    from ethereum_etl_ray.stages.invindex import phrase_count
+
+    rows = [
+        (1, "a b c a b"),       # 'a b' twice
+        (2, "a a a"),           # 'a a' overlapping: positions 0,1 → 2
+        (3, "x y z"),           # no match
+        (4, "b a"),             # reversed — no match
+        (5, "a"),               # shorter than phrase
+    ]
+    ds = ray.data.from_arrow(_docs(rows)).repartition(2)
+    ab = {r.doc_id: r.n_matches
+          for r in phrase_count(ds, ["a", "b"]).to_pandas().itertuples()}
+    assert ab == {1: 2}
+    aa = {r.doc_id: r.n_matches
+          for r in phrase_count(ds, ["a", "a"]).to_pandas().itertuples()}
+    assert aa == {2: 2}
+
+
+def test_phrase_count_never_straddles_docs(ray_session):
+    from ethereum_etl_ray.stages.invindex import phrase_count
+
+    # doc 1 ends with 'a', doc 2 starts with 'b' in the same batch: the
+    # flattened array contains "... a b ..." across the boundary
+    ds = ray.data.from_arrow(_docs([(1, "x a"), (2, "b y")]))
+    out = phrase_count(ds, ["a", "b"]).to_pandas()
+    assert len(out) == 0
