@@ -1653,6 +1653,21 @@ def q_approx_grouped_median(sf_dir: str):
                                    id_col="event_id", sample_k=1024)
 
 
+def q_search_topk(sf_dir: str):
+    """End-to-end search ranking: BM25 scores → top-3 docs per query term —
+    two engine operators composed (stages/invindex.py:bm25_scores feeding
+    stages/grouped.py:topn_per_key); the combiner bounds the shuffle at 3
+    rows per (batch, term)."""
+    from ethereum_etl_ray.stages.grouped import topn_per_key
+    from ethereum_etl_ray.stages.invindex import bm25_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = bm25_scores(ds, ["scan", "merge", "window"], k1=1.2, b=0.75)
+    top = topn_per_key(scored, "token", ["score", "doc_id"], 3,
+                       descending=[True, False])
+    return top.select_columns(["token", "doc_id", "score"])
+
+
 def q_phrase_count(sf_dir: str):
     """Exact token-phrase occurrence counts per document
     (stages/invindex.py:phrase_count) — overlapping matches included,
@@ -2045,6 +2060,7 @@ QUERIES = {
     "profile_events": q_profile_events,
     "pk_violations": q_pk_violations,
     "phrase_count": q_phrase_count,
+    "search_topk": q_search_topk,
     "unpivot_metrics": q_unpivot_metrics,
     "intersect_keys": q_intersect_keys,
     "outer_join_activity": q_outer_join_activity,
@@ -2562,6 +2578,33 @@ ORACLE_SQL = {
           FROM events GROUP BY user_id)
         SELECT e.user_id, quantile_disc(abs(e.value - med.m), 0.5) AS mad
         FROM events e JOIN med USING (user_id) GROUP BY e.user_id
+    """,
+    # the bm25_scores expression (same literals/association) + ROW_NUMBER
+    "search_topk": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+        tf AS (
+          SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM toks WHERE token IN ('scan', 'merge', 'window')
+          GROUP BY token, doc_id
+        ),
+        df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        scored AS (
+          SELECT tf.token, tf.doc_id,
+                 ((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                   / (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                      + 0.75::DOUBLE * dl / (tt / n))) AS score
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+        SELECT token, doc_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+                                       ORDER BY score DESC, doc_id) AS rn
+          FROM scored) WHERE rn <= 3
     """,
     # overlapping occurrences via position-indexed list lambda
     "phrase_count": """
