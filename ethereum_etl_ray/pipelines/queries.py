@@ -2954,3 +2954,295 @@ ORACLE_SQL["embedding_cosine_pairs"] = """
               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10000 + 0.5)
             / 10000.0 >= 0.4
 """
+
+
+# --------------------------------------------------------------------------
+# round-3 tail additions: fuzzy matching, grouped mode, regression, NTILE,
+# gap-filled time series, BPE pair induction
+# --------------------------------------------------------------------------
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """First BPE merge-induction step: exact corpus-wide counts of adjacent
+    token pairs, top 30. Pairs are formed by a shifted-vector zip over the
+    flattened token stream with doc-boundary masking (no per-row Python),
+    counted by a per-batch `value_counts` combiner — the shuffle moves one
+    row per distinct pair per batch, never the token stream. Tokens are
+    joined with a 0x1f separator (below any printable byte), so pair-string
+    order equals (tok_a, tok_b) tuple order for the tie-break."""
+    from ethereum_etl_ray.stages.topk import topk
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        toks = pc.split_pattern(text, pattern=" ")
+        flat = pc.list_flatten(toks)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ends = np.cumsum(lens) - 1          # last-token index of each doc
+        mask = np.ones(n - 1, bool)
+        mask[ends[ends < n - 1]] = False    # drop pairs straddling docs
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1), "\x1f")
+        vc = joined.filter(pa.array(mask)).value_counts()
+        return pa.table({"pair": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partial = docs.map_batches(pair_counts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    totals = (partial.groupby("pair").sum("n")
+              .map_batches(lambda t: t.rename_columns(["pair", "n"]),
+                           batch_format="pyarrow", zero_copy_batch=True))
+    out = topk(totals, ["n", "pair"], 30, descending=[True, False])
+    toks = out["pair"].str.split("\x1f", n=1, expand=True)
+    return pd.DataFrame({"tok_a": toks[0], "tok_b": toks[1],
+                         "n": out["n"]}).reset_index(drop=True)
+
+
+def q_mode_event_type(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break: per user, the most
+    frequent event type (ties → lexicographically smallest type). Per-batch
+    (user, type) count combiner → one hash aggregate → the per-key top-1
+    machinery (stages/grouped.py:topn_per_key) ordered (n DESC, type ASC).
+    Reference analogue: distinct-as-aggregation A1-A3."""
+    from ethereum_etl_ray.stages.grouped import topn_per_key
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["user_id", "event_type"]).sum("n")
+              .map_batches(lambda t: t.rename_columns(
+                  ["user_id", "event_type", "n"]),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    win = topn_per_key(counts, "user_id", ["n", "event_type"], 1,
+                       descending=[True, False])
+    return (win.to_pandas()
+            .rename(columns={"event_type": "mode_type"})
+            .sort_values("user_id").reset_index(drop=True)
+            [["user_id", "mode_type", "n"]])
+
+
+def q_regr_slope(sf_dir: str):
+    """Exact distributed simple-regression slope per (returnflag, status):
+    extendedprice-cents on quantity. Integer moment sums (n, Sx, Sy, Sxy,
+    Sxx) in a per-batch combiner, one tiny hash aggregate; the closed-form
+    slope is evaluated on the driver in arbitrary-precision Python ints and
+    divided once as float64 — bit-identical to the HUGEINT/DOUBLE oracle.
+    int64 bound: per-group Sxy < 2^63 up to ~10^12 rows at these scales."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                    "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy().astype(np.int64)
+        p = _cents(t.column("l_extendedprice").to_numpy())
+        base = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "n": pa.array(np.ones(len(q), np.int64)),
+            "sx": pa.array(q), "sy": pa.array(p),
+            "sxy": pa.array(q * p), "sxx": pa.array(q * q),
+        })
+        return base.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")]).rename_columns(
+            ["l_returnflag", "l_linestatus", "n", "sx", "sy", "sxy", "sxx"])
+
+    sums = (ds.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"),
+                       Sum("sxy", alias_name="sxy"),
+                       Sum("sxx", alias_name="sxx"))
+            .to_pandas())
+    slopes = []
+    for _, r in sums.iterrows():
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        slopes.append(float(num) / float(den))
+    out = pd.DataFrame({"l_returnflag": sums["l_returnflag"],
+                        "l_linestatus": sums["l_linestatus"],
+                        "slope": slopes})
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(
+        drop=True)
+
+
+def q_ntile_orders(sf_dir: str):
+    """Global NTILE(4) over orders by (totalprice, orderkey) WITHOUT a
+    global sort: the three tile-boundary rows are found by exact distributed
+    selection (stages/selection.py:kth_smallest — O(√(N·P)) driver traffic),
+    broadcast into one vectorized map_batches that assigns each row
+    1 + #boundaries strictly below it. The unique orderkey tie-break makes
+    every boundary exact."""
+    from ethereum_etl_ray.stages.selection import kth_smallest, lex_lt
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n = ds.count()
+    tiles = 4
+    q, r = divmod(n, tiles)
+    sizes = [q + 1] * r + [q] * (tiles - r)
+    ranks = np.cumsum(sizes)[:-1]           # boundary ranks b1 < b2 < b3
+    cols = ["o_totalprice", "o_orderkey"]
+    bounds = [kth_smallest(ds, cols, int(k)) for k in ranks]
+
+    def assign(t: pa.Table) -> pa.Table:
+        tile = np.ones(t.num_rows, np.int64)
+        for b in bounds:
+            gt = pc.invert(lex_lt(t, cols, b, strict=False))
+            tile += gt.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "tile": pa.array(tile)})
+
+    out = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_gap_fill_hourly(sf_dir: str):
+    """Gap-filled per-type hourly event counts: every hour between each
+    type's first and last event appears, missing hours as 0 (the resample
+    step of a time-series pipeline). Hourly counts come from the usual
+    per-batch combiner + hash aggregate; the dense range is generated inside
+    a per-type map_groups (each type's series is tiny next to the event
+    stream — the assumption to revisit for year-scale spans is documented
+    here)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hrs = (t.column("ts").cast(pa.int64()).to_numpy()
+               // 3_600_000_000) * 3_600_000_000
+        g = pa.table({"event_type": t.column("event_type"),
+                      "hr_us": pa.array(hrs),
+                      "n": pa.array(np.ones(len(hrs), np.int64))})
+        return g.group_by(["event_type", "hr_us"]).aggregate(
+            [("n", "sum")]).rename_columns(["event_type", "hr_us", "n"])
+
+    hourly = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "hr_us"]).sum("n")
+              .map_batches(lambda t: t.rename_columns(
+                  ["event_type", "hr_us", "n"]),
+                  batch_format="pyarrow", zero_copy_batch=True))
+
+    HOUR = 3_600_000_000
+
+    def fill(g: pa.Table) -> pa.Table:
+        hrs = g.column("hr_us").to_numpy()
+        ns = g.column("n").to_numpy()
+        full = np.arange(hrs.min(), hrs.max() + HOUR, HOUR)
+        dense = np.zeros(len(full), np.int64)
+        dense[(hrs - hrs.min()) // HOUR] = ns
+        et = g.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * len(full), pa.string()),
+            "hr": pa.array(full, pa.timestamp("us")),
+            "n": pa.array(dense)})
+
+    out = hourly.groupby("event_type").map_groups(fill, batch_format="pyarrow")
+    return (out.to_pandas().sort_values(["event_type", "hr"])
+            .reset_index(drop=True))
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Blocked fuzzy entity resolution (stages/fuzzy.py:edit1_pairs):
+    same-nation customer pairs whose names are within Levenshtein distance
+    1, via vectorized byte-matrix Hamming / single-indel tests — no per-pair
+    DP, one hash shuffle on the blocking key."""
+    from ethereum_etl_ray.stages.fuzzy import edit1_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    out = edit1_pairs(ds, key_col="c_custkey", text_col="c_name",
+                      block_col="c_nationkey")
+    pdf = out.to_pandas()
+    if pdf.empty:  # this Ray's to_pandas drops the schema when fully empty
+        pdf = pd.DataFrame(columns=["key_a", "key_b", "c_nationkey"])
+    return (pdf[["c_nationkey", "key_a", "key_b"]]
+            .sort_values(["c_nationkey", "key_a", "key_b"])
+            .reset_index(drop=True))
+
+
+QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
+QUERIES["mode_event_type"] = q_mode_event_type
+QUERIES["regr_slope"] = q_regr_slope
+QUERIES["ntile_orders"] = q_ntile_orders
+QUERIES["gap_fill_hourly"] = q_gap_fill_hourly
+QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+
+ORACLE_SQL["bpe_pair_counts"] = """
+    WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+    pairs AS (
+      -- ts[1:-2] = all but last, ts[2:-1] = all but first (DuckDB slicing)
+      SELECT unnest(list_zip(ts[1:-2], ts[2:-1])) AS pr
+      FROM toks WHERE len(ts) >= 2
+    )
+    SELECT pr[1] AS tok_a, pr[2] AS tok_b, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n DESC, tok_a, tok_b LIMIT 30
+"""
+ORACLE_SQL["mode_event_type"] = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS mode_type, n FROM c
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+    ORDER BY user_id
+"""
+ORACLE_SQL["regr_slope"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(count(*) AS HUGEINT) * sum(xy) - sum(x) * sum(y)
+                AS DOUBLE)
+           / CAST(CAST(count(*) AS HUGEINT) * sum(xx) - sum(x) * sum(x)
+                  AS DOUBLE) AS slope
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT)
+               * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xy,
+             CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS xx
+      FROM lineitem
+    )
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+ORACLE_SQL["ntile_orders"] = """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+             AS tile
+    FROM orders ORDER BY o_orderkey
+"""
+ORACLE_SQL["gap_fill_hourly"] = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1
+    ), g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM b
+    )
+    SELECT g.event_type, g.hr, coalesce(h.n, 0) AS n
+    FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
+    ORDER BY 1, 2
+"""
+ORACLE_SQL["fuzzy_name_pairs"] = """
+    SELECT a.c_nationkey, a.c_custkey AS key_a, b.c_custkey AS key_b
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY 1, 2, 3
+"""

@@ -1,0 +1,135 @@
+"""Fuzzy string matching: blocked edit-distance-1 self-join.
+
+Entity-resolution primitive for data cleaning (near-identical names, typo'd
+urls). The classic formulation is a self-join with ``levenshtein(a, b) <= 1``
+— quadratic and string-DP-per-pair. This stage makes it distributed and
+vectorized by exploiting the structure of distance <= 1:
+
+* ``len(a) == len(b)``: lev(a,b) <= 1  ⇔  exactly <=1 substitution  ⇔
+  Hamming(a,b) <= 1 (an insert/delete pair costs 2, so it can never beat a
+  single substitution at equal length).
+* ``|len(a) - len(b)| == 1``: lev <= 1  ⇔  the shorter string is obtained by
+  deleting one char  ⇔  longest-common-prefix + longest-common-suffix >=
+  len(shorter).
+* ``|len(a) - len(b)| >= 2``: lev >= 2, pruned without comparison.
+
+Both live cases are pure byte-matrix comparisons (numpy broadcasting over a
+padded uint8 matrix), no per-pair Python. The join is blocked: candidate
+pairs are generated only within a user-supplied ``block_col`` group (plus the
+implicit length band), so the quadratic term is per-block — the standard
+blocking assumption of fuzzy entity resolution. Each block must fit one
+``map_groups`` call; pick blocks accordingly (document key, registrable
+domain, …). Reference analogue: none (SURVEY §2.8 — the reference has no
+fuzzy ops); the distinct-by-set A1-A3 pattern is the nearest relative.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_PAIR_CHUNK = 1 << 22  # pairwise comparison rows held at once per block
+
+
+def _byte_matrix(names: list[bytes], width: int) -> np.ndarray:
+    mat = np.zeros((len(names), width), np.uint8)
+    for i, b in enumerate(names):
+        mat[i, :len(b)] = np.frombuffer(b, np.uint8)
+    return mat
+
+
+def _equal_len_pairs(mat: np.ndarray, idx: np.ndarray):
+    """Indices (into idx) of pairs with Hamming distance <= 1.
+
+    Chunked over the i<j pair list so a big block never materializes the
+    full n^2 x width mismatch tensor at once."""
+    n = len(idx)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ii, jj = np.triu_indices(n, k=1)
+    out_i, out_j = [], []
+    sub = mat[idx]
+    step = max(1, _PAIR_CHUNK // max(1, mat.shape[1]))
+    for off in range(0, len(ii), step):
+        ci, cj = ii[off:off + step], jj[off:off + step]
+        mism = (sub[ci] != sub[cj]).sum(axis=1)
+        keep = mism <= 1
+        out_i.append(idx[ci[keep]])
+        out_j.append(idx[cj[keep]])
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def _adjacent_len_pairs(mat: np.ndarray, short_idx: np.ndarray,
+                        long_idx: np.ndarray, short_len: int):
+    """Pairs (short, long) with len diff exactly 1 and lev distance 1 —
+    prefix+suffix cover of the shorter string (single-deletion test)."""
+    if not len(short_idx) or not len(long_idx):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    s = mat[short_idx][:, :short_len]                # (ns, L)
+    lng = mat[long_idx][:, :short_len + 1]           # (nl, L+1)
+    out_s, out_l = [], []
+    step = max(1, _PAIR_CHUNK // max(1, short_len + 1))
+    for off in range(0, len(short_idx), step):
+        sc = s[off:off + step]
+        # prefix match length: first position where short != long-prefix
+        pref_neq = sc[:, None, :] != lng[None, :, :short_len]   # (c, nl, L)
+        pref = np.where(pref_neq.any(axis=2),
+                        pref_neq.argmax(axis=2), short_len)
+        # suffix match length: compare short tail vs long tail (shift by 1)
+        suf_neq = sc[:, None, ::-1] != lng[None, :, :0:-1]
+        suf = np.where(suf_neq.any(axis=2), suf_neq.argmax(axis=2), short_len)
+        si, li = np.nonzero(pref + suf >= short_len)
+        out_s.append(short_idx[off + si])
+        out_l.append(long_idx[li])
+    return np.concatenate(out_s), np.concatenate(out_l)
+
+
+def _block_pairs(g: pa.Table, key_col: str, text_col: str) -> pa.Table:
+    keys = g.column(key_col).to_numpy(zero_copy_only=False)
+    names = [s.encode() if s is not None else b""
+             for s in g.column(text_col).to_pylist()]
+    lens = np.array([len(b) for b in names], np.int64)
+    width = int(lens.max(initial=0))
+    mat = _byte_matrix(names, width)
+    pair_a, pair_b = [], []
+
+    def emit(i_idx: np.ndarray, j_idx: np.ndarray):
+        if not len(i_idx):
+            return
+        a, b = keys[i_idx], keys[j_idx]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        pair_a.append(lo)
+        pair_b.append(hi)
+
+    for ln in np.unique(lens):
+        same = np.flatnonzero(lens == ln)
+        emit(*_equal_len_pairs(mat, same))
+        longer = np.flatnonzero(lens == ln + 1)
+        emit(*_adjacent_len_pairs(mat, same, longer, int(ln)))
+
+    if pair_a:
+        a = np.concatenate(pair_a)
+        b = np.concatenate(pair_b)
+    else:
+        a = b = np.empty(0, np.int64)
+    return pa.table({"key_a": pa.array(a, pa.int64()),
+                     "key_b": pa.array(b, pa.int64())})
+
+
+def edit1_pairs(ds: ray.data.Dataset, *, key_col: str, text_col: str,
+                block_col: str) -> ray.data.Dataset:
+    """All unordered pairs (key_a < key_b) within a block whose ``text_col``
+    values are at Levenshtein distance <= 1 (including exact duplicates at
+    distance 0). One hash shuffle on ``block_col``; per-block numpy byte
+    comparisons, length-banded; no per-pair Python DP."""
+
+    def per_block(g: pa.Table) -> pa.Table:
+        out = _block_pairs(g, key_col, text_col)
+        blk = g.column(block_col)[0]
+        return out.append_column(
+            block_col, pa.array([blk.as_py()] * out.num_rows, blk.type))
+
+    return (ds.select_columns([key_col, text_col, block_col])
+            .groupby(block_col)
+            .map_groups(per_block, batch_format="pyarrow"))
