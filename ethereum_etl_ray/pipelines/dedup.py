@@ -403,3 +403,105 @@ def simhash_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
                              "hamming": pd.Series(dtype=np.int64)})
     return (out.drop_duplicates(subset=["doc_a", "doc_b"])
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span coverage (ExactSubstr-style, fixed-n approximation)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(
+    ds: ray.data.Dataset,
+    *,
+    ngram: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-document count of token positions covered by a corpus-duplicated
+    token ``ngram`` (one appearing >= ``min_count`` times corpus-wide) — the
+    fixed-n approximation of exact-substring duplicate detection used to
+    strip boilerplate/repeated spans from training corpora.
+
+    Dataflow (two passes over the corpus, nothing driver-resident):
+      1. gram occurrences (gram, doc, pos) — shifted-slice joins over the
+         flattened token stream, doc-boundary masked, no per-row Python;
+      2. duplicated-gram set: per-batch ``value_counts`` combiner → one hash
+         aggregate → ``count >= min_count`` filter (stays a Dataset);
+      3. occurrences ⋈ duplicated grams via the distributed co-group join
+         (stages/joins.py:cogroup_join) — keyed on the gram STRING so the
+         match is exact (at 10^10+ docs key on a 128-bit content hash
+         instead to shrink the exchange; 64-bit risks false positives);
+      4. coverage: expand each hit to its ``ngram`` positions, per-batch
+         (doc, pos) dedup combiner → distinct → per-doc count.
+    Docs with zero duplicated positions are absent from the output (mirrors
+    the SQL oracle). Reference analogue: none (§2.8); nearest relative is
+    the distinct-as-dedup A1-A3 applied to spans instead of rows.
+    """
+    import pyarrow.compute as pc
+
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t.column(text_col).combine_chunks(), "")
+        toks = pc.split_pattern(text, pattern=" ")
+        flat = pc.list_flatten(toks)
+        n = len(flat)
+        if n < ngram:
+            return empty
+        m = n - ngram + 1
+        gram = pc.binary_join_element_wise(
+            *[flat.slice(i, m) for i in range(ngram)], " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        valid = doc_of[:m] == doc_of[ngram - 1:]       # gram within one doc
+        pos = np.arange(m) - cum[doc_of[:m]] + 1       # 1-based start
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        out = pa.table({"gram": gram,
+                        "doc_id": pa.array(ids[doc_of[:m]], pa.int64()),
+                        "pos": pa.array(pos, pa.int64())})
+        return out.filter(pa.array(valid))
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = t.column("gram").combine_chunks().value_counts()
+        return pa.table({"dupgram": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    dups = (occ.map_batches(partial_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .groupby("dupgram").sum("c")
+            .map_batches(lambda t: t.rename_columns(["dupgram", "c"])
+                         .filter(pc.greater_equal(t.column(1),
+                                                  pa.scalar(min_count)))
+                         .select(["dupgram"]),
+                         batch_format="pyarrow", zero_copy_batch=True))
+
+    hits = cogroup_join(occ, dups, left_on="gram", right_on="dupgram",
+                        how="inner").select_columns(["doc_id", "pos"])
+
+    def cover(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        p = t.column("pos").to_numpy(zero_copy_only=False)
+        dd = np.repeat(d, ngram)
+        pp = np.repeat(p, ngram) + np.tile(np.arange(ngram), len(p))
+        return (pa.table({"doc_id": pa.array(dd, pa.int64()),
+                          "p": pa.array(pp, pa.int64())})
+                .group_by(["doc_id", "p"]).aggregate([]))
+
+    cov = hits.map_batches(cover, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = cov.groupby(["doc_id", "p"]).count()
+    return (distinct.groupby("doc_id").count()
+            .map_batches(lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_dup_tokens": pc.cast(t.column("count()"), pa.int64())}),
+                batch_format="pyarrow"))

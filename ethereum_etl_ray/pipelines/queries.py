@@ -3246,3 +3246,75 @@ ORACLE_SQL["fuzzy_name_pairs"] = """
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     ORDER BY 1, 2, 3
 """
+
+
+def q_dup_span_stats(sf_dir: str):
+    """Exact duplicated-span coverage (pipelines/dedup.py:dup_span_stats):
+    per doc, how many token positions sit inside a 4-gram that repeats
+    corpus-wide — the fixed-n approximation of exact-substring dedup used
+    to strip boilerplate from training corpora."""
+    from ethereum_etl_ray.pipelines.dedup import dup_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_span_stats(ds, ngram=4, min_count=2)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["dup_span_stats"] = q_dup_span_stats
+ORACLE_SQL["dup_span_stats"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, len(ts) - 2)) AS pos,
+             unnest(list_zip(ts[1:-4], ts[2:-3], ts[3:-2], ts[4:-1])) AS g
+      FROM toks WHERE len(ts) >= 4
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 4)) AS p
+      FROM grams JOIN dup USING (g)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens
+    FROM cov GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_sparse_cosine_pairs(sf_dir: str):
+    """Sparse TF cosine similarity self-join over discriminative terms
+    (stages/invindex.py:sparse_cosine_pairs): df-pruned term-at-a-time
+    pair expansion, integer dot/norm sums, one float expression — the
+    lexical near-dup/cluster counterpart of embedding_cosine_pairs."""
+    from ethereum_etl_ray.stages.invindex import sparse_cosine_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return sparse_cosine_pairs(ds, max_df=32, threshold=0.2)
+
+
+QUERIES["sparse_cosine_pairs"] = q_sparse_cosine_pairs
+ORACLE_SQL["sparse_cosine_pairs"] = """
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY 1, 2
+    ),
+    keep AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 32),
+    t2 AS (SELECT tf.* FROM tf JOIN keep USING (tok)),
+    dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.c * b.c) AS dot
+      FROM t2 a JOIN t2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    norm AS (SELECT doc_id, sum(c * c) AS n2 FROM t2 GROUP BY 1)
+    SELECT doc_a, doc_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS sim
+    FROM dot
+    JOIN norm na ON dot.doc_a = na.doc_id
+    JOIN norm nb ON dot.doc_b = nb.doc_id
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= 0.2
+    ORDER BY doc_a, doc_b
+"""

@@ -224,3 +224,123 @@ def phrase_count(ds: ray.data.Dataset, phrase: list[str], *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sparse_cosine_pairs(
+    ds: ray.data.Dataset,
+    *,
+    max_df: int = 32,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """All-pairs document cosine similarity over raw term-frequency vectors,
+    restricted to discriminative terms (document frequency <= ``max_df``) —
+    the sparse similarity self-join of near-dup / clustering pipelines.
+
+    Classic df-pruned term-at-a-time plan, fully distributed:
+      tf       exact per batch (a doc is one row, never split);
+      df cap   one hash aggregate; terms above ``max_df`` dropped — this
+               bounds every per-term pair expansion at max_df^2 partials
+               (the skew guard: without it a stopword term is |corpus|^2);
+      pairs    groupby(term).map_groups emits (doc_a, doc_b, tf_a*tf_b);
+      dot      one hash aggregate over pairs; norms likewise per doc;
+      sim      dot / (sqrt(n2_a) * sqrt(n2_b)) from exact integer sums —
+               bit-identical to the SQL oracle (no float summation).
+    Similarity here is over the PRUNED vectors (norms too) so the score is
+    self-consistent and engine-independent."""
+    import ray
+
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    tf = ds.map_batches(
+        lambda b: doc_term_batch(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    kept = (tf.groupby("token").count()
+            .map_batches(lambda t: pa.table(
+                {"keep_tok": t.column("token").filter(
+                    pc.less_equal(t.column("count()"),
+                                  pa.scalar(max_df)))}),
+                batch_format="pyarrow", zero_copy_batch=True))
+    I64, STR = pa.int64(), pa.string()
+    t2 = cogroup_join(
+        tf, kept, left_on="token", right_on="keep_tok", how="inner",
+        left_fields=[("token", STR), ("doc_id", I64), ("tf", I64)],
+        right_fields=[("keep_tok", STR)],
+    ).select_columns(["token", "doc_id", "tf"])
+    # t2 fans out to THREE consumers (norms, pair expansion, df probe);
+    # materialize once so Ray doesn't re-run the corpus scan + join per
+    # consumer. Bounded: df-pruned postings are Σ df over kept terms —
+    # a sliver of the corpus by construction (the cap did the work).
+    t2 = t2.materialize()
+
+    def norm_partial(t: pa.Table) -> pa.Table:
+        c = t.column("tf").to_numpy(zero_copy_only=False)
+        return (pa.table({"doc_id": t.column("doc_id"),
+                          "n2": pa.array(c * c, pa.int64())})
+                .group_by("doc_id").aggregate([("n2", "sum")])
+                .rename_columns(["doc_id", "n2"]))
+
+    norms = (t2.map_batches(norm_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("doc_id").sum("n2")
+             .map_batches(lambda t: t.rename_columns(["doc_id", "n2"]),
+                          batch_format="pyarrow", zero_copy_batch=True))
+
+    def expand(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        order = np.argsort(g.column("doc_id").to_numpy(zero_copy_only=False),
+                           kind="stable")
+        c = g.column("tf").to_numpy(zero_copy_only=False)[order]
+        n = len(d)
+        if n < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(n, k=1)
+        return pa.table({"doc_a": pa.array(d[ii], pa.int64()),
+                         "doc_b": pa.array(d[jj], pa.int64()),
+                         "x": pa.array(c[ii] * c[jj], pa.int64())})
+
+    dot = (t2.groupby("token").map_groups(expand, batch_format="pyarrow")
+           .groupby(["doc_a", "doc_b"]).sum("x")
+           .map_batches(lambda t: t.rename_columns(["doc_a", "doc_b", "dot"]),
+                        batch_format="pyarrow", zero_copy_batch=True))
+
+    # norms are BOUNDED by the df cap (docs holding any kept term ≤
+    # #kept_terms × max_df rows), so they broadcast — one ray.put, two Acero
+    # joins inside a single stateless map task (an actor pool here can
+    # starve the shuffle stages on small clusters, cf. semi_anti_filter)
+    norms_tbl = pa.Table.from_pandas(norms.to_pandas(), preserve_index=False)
+    norms_ref = ray.put(norms_tbl)
+
+    def attach_norms(t: pa.Table) -> pa.Table:
+        nrm = ray.get(norms_ref)
+        na = nrm.rename_columns(["na_key", "na2"])
+        nb = nrm.rename_columns(["nb_key", "nb2"])
+        out = t.join(na, keys=["doc_a"], right_keys=["na_key"],
+                     join_type="inner")
+        return out.join(nb, keys=["doc_b"], right_keys=["nb_key"],
+                        join_type="inner")
+
+    joined = dot.map_batches(attach_norms, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t.column("dot").to_numpy(zero_copy_only=False).astype(np.float64)
+        a2 = t.column("na2").to_numpy(zero_copy_only=False).astype(np.float64)
+        b2 = t.column("nb2").to_numpy(zero_copy_only=False).astype(np.float64)
+        sim = d / (np.sqrt(a2) * np.sqrt(b2))
+        out = pa.table({"doc_a": t.column("doc_a"),
+                        "doc_b": t.column("doc_b"),
+                        "sim": pa.array(sim, pa.float64())})
+        return out.filter(pa.array(sim >= threshold))
+
+    out = joined.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                            "doc_b": pd.Series(dtype=np.int64),
+                            "sim": pd.Series(dtype=np.float64)})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -234,6 +234,8 @@ def cogroup_join(
     right_on: str | list[str],
     how: str = "inner",
     num_partitions: int | None = None,
+    left_fields: "pa.Schema | list[tuple[str, pa.DataType]] | None" = None,
+    right_fields: "pa.Schema | list[tuple[str, pa.DataType]] | None" = None,
 ) -> ray.data.Dataset:
     """Hash co-group equi-join built on the engine's own partitioner
     (union + key-hash partition + per-group pandas merge).
@@ -246,7 +248,11 @@ def cogroup_join(
     ``outer`` — unmatched rows of the preserved side(s) come back null-padded
     (partitions empty on one side emit the other side whole). ``left_on`` /
     ``right_on`` may be COLUMN LISTS for a composite-key equi-join (both
-    sides partition by the same mixed hash of the key tuple)."""
+    sides partition by the same mixed hash of the key tuple).
+    ``left_fields``/``right_fields`` (a pa.Schema or (name, type) pairs)
+    skip schema probing entirely — pass them when the input schema cannot be
+    resolved statically (deep map_groups/aggregate chains), where the
+    fallback would otherwise pay a one-row materialization of that input."""
     from ethereum_etl_ray.functions.hashing import partition_ids_multi
 
     if how not in ("inner", "left", "right", "outer"):
@@ -262,18 +268,58 @@ def cogroup_join(
         num_partitions = max(2, cpus)
     # normalize to Arrow blocks first: pandas-block datasets (e.g. map_groups
     # output) report numpy dtypes from .schema(), which pa.nulls can't build
-    left_ds = left_ds.map_batches(lambda t: t, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    right_ds = right_ds.map_batches(lambda t: t, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-    l_schema, r_schema = left_ds.schema(), right_ds.schema()
-    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
+    def _arrow_fields(schema):
+        """(name, pa.DataType) pairs, or None if any type can't be mapped
+        without executing (e.g. numpy object dtype for strings)."""
+        if schema is None:
+            return None
+        out = []
+        for n, t in zip(schema.names, schema.types):
+            if isinstance(t, pa.DataType):
+                out.append((n, t))
+            else:
+                try:
+                    out.append((n, pa.from_numpy_dtype(t)))
+                except (pa.ArrowNotImplementedError, ValueError, TypeError):
+                    return None
+        return out
+
+    def _wrap_and_fields(ds, side, override):
+        if override is not None:
+            wrapped = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+            if isinstance(override, pa.Schema):
+                override = list(zip(override.names, override.types))
+            return wrapped, list(override)
+        # probe the RAW schema first: for read/map/aggregate plans it is
+        # statically known, whereas probing after the no-op wrap forces an
+        # execution fragment that can surface a zero-column empty block from
+        # a hash aggregate and come back None. When the static schema has
+        # unmappable numpy dtypes (map_groups pandas blocks with object
+        # strings), fall back to ONE materialized row — this re-executes
+        # that input's upstream once, so deep join chains pay an extra
+        # fragment, never a wrong schema.
+        fields = _arrow_fields(ds.schema())
+        wrapped = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        if fields is not None:
+            return wrapped, fields
+        try:
+            b = wrapped.take_batch(1, batch_format="pyarrow")
+        except Exception as e:
+            raise ValueError(
+                f"cogroup_join could not resolve an Arrow schema for the "
+                f"{side} input (empty dataset with no static schema?)") from e
+        return wrapped, list(zip(b.schema.names, b.schema.types))
+
+    left_ds, l_fields = _wrap_and_fields(left_ds, "left", left_fields)
+    right_ds, r_fields = _wrap_and_fields(right_ds, "right", right_fields)
+    l_cols = [n for n, _ in l_fields]
+    r_cols = [n for n, _ in r_fields]
     overlap = set(l_cols) & set(r_cols)
     if overlap:
         raise ValueError(f"cogroup_join requires disjoint column names, got {overlap}")
-    unified = [(n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
-               for n, t in (list(zip(l_cols, l_schema.types))
-                            + list(zip(r_cols, r_schema.types)))]
+    unified = l_fields + r_fields
 
     def widen(side_flag: int, key_cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:

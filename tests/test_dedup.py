@@ -144,3 +144,24 @@ def test_jaccard_edge_cases():
     assert jaccard(set(), set()) == 1.0
     assert jaccard({1}, set()) == 0.0
     assert jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
+
+
+def test_dup_span_stats_planted():
+    """Cross-doc and within-doc repeated 4-grams; overlap merges coverage."""
+    import pyarrow as pa
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.dedup import dup_span_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d x y z w",          # shares "a b c d" with doc 2
+            "q a b c d r",              # coverage pos 2..5
+            "totally unrelated words here",   # no dup grams -> absent
+            "p q r s p q r s",          # same gram twice within one doc
+        ]),
+    })
+    out = dup_span_stats(ray.data.from_arrow(docs), ngram=4, min_count=2)
+    got = {r["doc_id"]: r["n_dup_tokens"] for r in out.take_all()}
+    assert got == {1: 4, 2: 4, 4: 8}
