@@ -410,18 +410,16 @@ def simhash_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
 # ---------------------------------------------------------------------------
 
 
-def dup_span_stats(
+def _dup_hits(
     ds: ray.data.Dataset,
     *,
-    ngram: int = 4,
-    min_count: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    ngram: int,
+    min_count: int,
+    id_col: str,
+    text_col: str,
 ) -> ray.data.Dataset:
-    """Per-document count of token positions covered by a corpus-duplicated
-    token ``ngram`` (one appearing >= ``min_count`` times corpus-wide) — the
-    fixed-n approximation of exact-substring duplicate detection used to
-    strip boilerplate/repeated spans from training corpora.
+    """Occurrences of corpus-duplicated token ``ngram``s as (doc_id, pos)
+    rows — the shared core of ``dup_span_stats`` / ``dup_span_strip``.
 
     Dataflow (two passes over the corpus, nothing driver-resident):
       1. gram occurrences (gram, doc, pos) — shifted-slice joins over the
@@ -431,12 +429,9 @@ def dup_span_stats(
       3. occurrences ⋈ duplicated grams via the distributed co-group join
          (stages/joins.py:cogroup_join) — keyed on the gram STRING so the
          match is exact (at 10^10+ docs key on a 128-bit content hash
-         instead to shrink the exchange; 64-bit risks false positives);
-      4. coverage: expand each hit to its ``ngram`` positions, per-batch
-         (doc, pos) dedup combiner → distinct → per-doc count.
-    Docs with zero duplicated positions are absent from the output (mirrors
-    the SQL oracle). Reference analogue: none (§2.8); nearest relative is
-    the distinct-as-dedup A1-A3 applied to spans instead of rows.
+         instead to shrink the exchange; 64-bit risks false positives).
+    Reference analogue: none (§2.8); nearest relative is the
+    distinct-as-dedup A1-A3 applied to spans instead of rows.
     """
     import pyarrow.compute as pc
 
@@ -486,8 +481,30 @@ def dup_span_stats(
                          .select(["dupgram"]),
                          batch_format="pyarrow", zero_copy_batch=True))
 
-    hits = cogroup_join(occ, dups, left_on="gram", right_on="dupgram",
+    return cogroup_join(occ, dups, left_on="gram", right_on="dupgram",
                         how="inner").select_columns(["doc_id", "pos"])
+
+
+def dup_span_stats(
+    ds: ray.data.Dataset,
+    *,
+    ngram: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-document count of token positions covered by a corpus-duplicated
+    token ``ngram`` (one appearing >= ``min_count`` times corpus-wide) — the
+    fixed-n approximation of exact-substring duplicate detection used to
+    strip boilerplate/repeated spans from training corpora. Coverage:
+    expand each ``_dup_hits`` row to its ``ngram`` positions, per-batch
+    (doc, pos) dedup combiner → distinct → per-doc count. Docs with zero
+    duplicated positions are absent from the output (mirrors the SQL
+    oracle)."""
+    import pyarrow.compute as pc
+
+    hits = _dup_hits(ds, ngram=ngram, min_count=min_count,
+                     id_col=id_col, text_col=text_col)
 
     def cover(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -505,3 +522,101 @@ def dup_span_stats(
                 "doc_id": t.column("doc_id"),
                 "n_dup_tokens": pc.cast(t.column("count()"), pa.int64())}),
                 batch_format="pyarrow"))
+
+
+def dup_span_strip(
+    ds: ray.data.Dataset,
+    *,
+    ngram: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Rewrite each document with corpus-duplicated spans REMOVED — the
+    apply step over ``_dup_hits`` (cf. ``near_dedup_keep`` for whole-doc
+    dedup; this is the sub-document variant used to strip boilerplate).
+
+    Hit positions are list-aggregated per doc (per-batch Arrow ``list``
+    combiner, then one co-partitioned merge — one row per affected doc,
+    never one row per hit), LEFT-joined back to the corpus so clean docs
+    pass through byte-identical, and the rewrite is one vectorized pass:
+    flatten tokens, scatter the covered index set into a keep mask, refilter
+    and re-join per doc. A doc that is entirely duplicated spans becomes an
+    empty string (filter afterwards if desired)."""
+    import pyarrow.compute as pc
+
+    from ethereum_etl_ray.stages.grouped import map_copartitions
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    hits = _dup_hits(ds, ngram=ngram, min_count=min_count,
+                     id_col=id_col, text_col=text_col)
+
+    def agg_lists(t: pa.Table) -> pa.Table:
+        g = t.group_by("hdoc").aggregate([("hpos", "list")])
+        return g.rename_columns(["hdoc", "hplist"])
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        # pyarrow 16 has no list-of-list aggregation kernel; re-explode the
+        # partition's partial lists (rows = hits in THIS partition only)
+        # and list-aggregate one level. Positions travel onward as a
+        # comma-joined STRING + count: a list<int64> column would be
+        # tensor-extension-cast (and rejected as ragged) on the pandas →
+        # arrow hop inside the join
+        lens = pc.list_value_length(t.column("hplist")).to_numpy(
+            zero_copy_only=False)
+        hd = np.repeat(t.column("hdoc").to_numpy(zero_copy_only=False), lens)
+        flat = pa.table({"hdoc": pa.array(hd, pa.int64()),
+                         "hpos": pc.list_flatten(t.column("hplist"))})
+        g = flat.group_by("hdoc").aggregate([("hpos", "list"),
+                                             ("hpos", "count")])
+        pos_str = pc.binary_join(
+            pc.cast(g.column("hpos_list"), pa.list_(pa.string())), ",")
+        return pa.table({"hdoc": g.column("hdoc"),
+                         "hpos_str": pos_str,
+                         "n_hits": pc.cast(g.column("hpos_count"),
+                                           pa.int64())})
+
+    partial = hits.map_batches(
+        lambda t: agg_lists(t.rename_columns(["hdoc", "hpos"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hitlists = map_copartitions(partial, "hdoc", merge_part)
+
+    joined = cogroup_join(
+        ds.select_columns([id_col, text_col]), hitlists,
+        left_on=id_col, right_on="hdoc", how="left",
+        left_fields=[(id_col, pa.int64()), (text_col, pa.string())],
+        right_fields=[("hdoc", pa.int64()), ("hpos_str", pa.string()),
+                      ("n_hits", pa.int64())])
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 text_col: pd.Series(dtype=object)})
+        text = pa.array(df[text_col].fillna("").astype(str), pa.string())
+        toks = pc.split_pattern(text, pattern=" ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(lens)])
+
+        sizes = df["n_hits"].fillna(0).to_numpy().astype(np.int64)
+        strs = df["hpos_str"]
+        blob = ",".join(s for s in strs if isinstance(s, str) and s)
+        vals = (np.fromstring(blob, dtype=np.int64, sep=",")
+                if blob else np.empty(0, np.int64))
+        parent = np.repeat(np.arange(len(df)), sizes)
+        keep = np.ones(int(cum[-1]), bool)
+        starts = cum[parent] + vals - 1          # pos is 1-based
+        for k in range(ngram):
+            keep[starts + k] = False
+        kept_per_doc = (np.add.reduceat(keep, cum[:-1])
+                        if len(keep) else np.zeros(len(df), np.int64))
+        off = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        kept = (flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+                else flat).filter(pa.array(keep))
+        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()), kept)
+        new_text = pc.binary_join(la, " ")
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             text_col: new_text.to_pandas()})
+
+    return joined.map_batches(strip, batch_format="pandas")

@@ -3318,3 +3318,42 @@ ORACLE_SQL["sparse_cosine_pairs"] = """
           >= 0.2
     ORDER BY doc_a, doc_b
 """
+
+
+def q_dup_span_strip(sf_dir: str):
+    """Apply step of duplicated-span dedup: every doc rewritten with
+    corpus-repeated 4-gram spans removed (pipelines/dedup.py:dup_span_strip);
+    clean docs pass through byte-identical."""
+    from ethereum_etl_ray.pipelines.dedup import dup_span_strip
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_span_strip(ds, ngram=4, min_count=2)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["dup_span_strip"] = q_dup_span_strip
+ORACLE_SQL["dup_span_strip"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, len(ts) - 2)) AS pos,
+             unnest(list_zip(ts[1:-4], ts[2:-3], ts[3:-2], ts[4:-1])) AS g
+      FROM toks WHERE len(ts) >= 4
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id, list(DISTINCT p) AS cps
+      FROM (SELECT DISTINCT doc_id, unnest(range(pos, pos + 4)) AS p
+            FROM grams JOIN dup USING (g))
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN cov.cps IS NULL THEN array_to_string(t.ts, ' ')
+                -- array_to_string([]) is NULL in DuckDB; a fully-stripped
+                -- doc is the empty string
+                ELSE coalesce(array_to_string(
+                    list_filter(t.ts, (x, i) -> NOT list_contains(cov.cps, i)),
+                    ' '), '') END AS text
+    FROM toks t LEFT JOIN cov USING (doc_id)
+    ORDER BY t.doc_id
+"""

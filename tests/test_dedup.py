@@ -165,3 +165,25 @@ def test_dup_span_stats_planted():
     out = dup_span_stats(ray.data.from_arrow(docs), ngram=4, min_count=2)
     got = {r["doc_id"]: r["n_dup_tokens"] for r in out.take_all()}
     assert got == {1: 4, 2: 4, 4: 8}
+
+
+def test_dup_span_strip_planted():
+    """Apply step: duplicated spans removed, clean docs byte-identical."""
+    import pyarrow as pa
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.dedup import dup_span_strip
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d x y z w",
+            "q a b c d r",
+            "totally unrelated words here",
+            "p q r s p q r s",
+        ]),
+    })
+    out = dup_span_strip(ray.data.from_arrow(docs), ngram=4, min_count=2)
+    got = {r["doc_id"]: r["text"] for r in out.take_all()}
+    assert got == {1: "x y z w", 2: "q r",
+                   3: "totally unrelated words here", 4: ""}
