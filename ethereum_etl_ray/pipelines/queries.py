@@ -3357,3 +3357,38 @@ ORACLE_SQL["dup_span_strip"] = """
     FROM toks t LEFT JOIN cov USING (doc_id)
     ORDER BY t.doc_id
 """
+
+
+def q_embedding_standardize(sf_dir: str):
+    """Per-dimension z-score feature scaling over the embedding column
+    (stages/ann.py:standardize_embeddings): integer-exact moment sums,
+    one broadcast vectorized apply, exploded (vec_id, dim, z) output."""
+    from ethereum_etl_ray.stages.ann import standardize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = standardize_embeddings(ds)
+    return (out.to_pandas().sort_values(["vec_id", "dim"])
+            .reset_index(drop=True))
+
+
+QUERIES["embedding_standardize"] = q_embedding_standardize
+ORACLE_SQL["embedding_standardize"] = """
+    WITH e AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+    ),
+    stats AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(xq) AS s,
+             sum(xq * xq) AS ss
+      FROM e GROUP BY dim
+    )
+    SELECT e.vec_id, e.dim,
+           (CAST(xq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt(CAST(n * ss - s * s AS DOUBLE)) / CAST(n AS DOUBLE))
+             AS z
+    FROM e JOIN stats USING (dim)
+    ORDER BY vec_id, dim
+"""

@@ -320,3 +320,61 @@ def ivf_search(index_dir: str, query_ids: np.ndarray, query_mat: np.ndarray,
                              "score": pd.Series(dtype=np.float64)})
     sub = ray.data.read_parquet(files, columns=[id_col, emb_col])
     return brute_force_topk(sub, query_ids, query_mat, k, id_col, emb_col)
+
+
+def standardize_embeddings(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Per-dimension z-score standardization of an embedding column — the
+    feature-scaling pass before clustering / quantization. Two streaming
+    passes: (1) per-batch integer moment sums over values quantized to
+    ``floor(x*scale + 0.5)`` (O(dim) rows per batch, one tiny hash
+    aggregate, exact in int64/python-int — no float summation order to
+    disagree on across engines or partitionings); (2) one vectorized
+    broadcast apply. The z-score is a single float expression from exact
+    integers (μ = s/n, σ = sqrt(n·ss − s²)/n, population variance), so the
+    output is bit-identical to the SQL oracle. Output is exploded
+    (id, dim, z) rows. Zero-variance dimensions divide by zero (±inf/nan)
+    — same in both engines; filter upstream if the data allows them."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, emb_col)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        dim = q.shape[1] if q.size else 0
+        return pa.table({
+            "dim": pa.array(np.arange(dim, dtype=np.int64)),
+            "n": pa.array(np.full(dim, q.shape[0], np.int64)),
+            "s": pa.array(q.sum(axis=0), pa.int64()),
+            "ss": pa.array((q * q).sum(axis=0), pa.int64()),
+        })
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("dim")
+            .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss"))
+            .to_pandas().sort_values("dim"))
+    mu = np.empty(len(sums)); sig = np.empty(len(sums))
+    for j, r in sums.reset_index(drop=True).iterrows():
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        mu[j] = float(s) / float(n)
+        sig[j] = np.sqrt(float(n * ss - s * s)) / float(n)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, emb_col)
+        q = np.floor(m * scale + 0.5)  # float64, exactly integral
+        z = (q - mu) / sig
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        d = z.shape[1] if z.size else 0
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ids))),
+            "z": pa.array(z.ravel(), pa.float64()),
+        })
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
