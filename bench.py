@@ -196,6 +196,19 @@ def run_once(include_queries: bool) -> dict:
     # since each draw also grows the guest page pool and the LAST draws are
     # the ones that measure the engine rather than the hypervisor)
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
+    # self-describing stall evidence: first-touch fault bandwidth right
+    # before the timed draws. A healthy guest faults at GB/s; the host
+    # page-supply stall documented in BASELINE.md reads single-digit MB/s
+    # and inflates the bandwidth-bound replay phase. Recording it in the
+    # bench line lets a reader attribute a slow headline without access to
+    # the box.
+    import numpy as np
+
+    _t0 = time.perf_counter()
+    _probe = np.empty(1 << 27, dtype=np.uint8)
+    _probe[::4096] = 1
+    fault_mb_s = round(128.0 / (time.perf_counter() - _t0), 1)
+    del _probe
     sec, n_events = _headline(corpus)
     for _ in range(repeat - 1):
         os.sync()
@@ -209,6 +222,7 @@ def run_once(include_queries: bool) -> dict:
         "num_cpus": NUM_CPUS,
         "events": n_events,
         "events_per_sec": round(n_events / sec, 1),
+        "fault_probe_mb_s": fault_mb_s,
         "queries": {},
     }
     if include_queries:

@@ -3392,3 +3392,76 @@ ORACLE_SQL["embedding_standardize"] = """
     FROM e JOIN stats USING (dim)
     ORDER BY vec_id, dim
 """
+
+
+def q_revenue_by_segment_month(sf_dir: str):
+    """Classic 3-way star join (TPC-H Q3/Q10 shape): customer ⋈ orders ⋈
+    lineitem → revenue per (market segment, order month). Plan: the
+    dimension side (customer) broadcasts once into the orders scan
+    (stages/joins.py:broadcast_lookup, no shuffle); lineitem revenue is
+    pre-aggregated per orderkey INSIDE each batch (combiner — the join
+    then moves one row per (batch, orderkey), not the line-item stream);
+    the fact-fact join is the distributed co-group join; the final
+    (segment, month) rollup is a tiny hash aggregate. Revenue is exact
+    integer cents (floor(x*100+0.5)) end to end."""
+    from ethereum_etl_ray.stages.joins import broadcast_lookup, cogroup_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    seg_orders = broadcast_lookup(orders, cust, left_on="o_custkey",
+                                  right_on="c_custkey", how="inner")
+
+    def month_proj(t: pa.Table) -> pa.Table:
+        m = (t.column("o_orderdate").to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]").astype("datetime64[us]"))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "c_mktsegment": t.column("c_mktsegment"),
+                         "month": pa.array(m, pa.timestamp("us"))})
+
+    seg_orders = seg_orders.map_batches(month_proj, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        g = pa.table({"l_orderkey": t.column("l_orderkey"),
+                      "rev": pa.array(_cents(price * (1.0 - disc)),
+                                      pa.int64())})
+        return (g.group_by("l_orderkey").aggregate([("rev", "sum")])
+                .rename_columns(["l_orderkey", "rev"]))
+
+    rev = line.map_batches(rev_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    joined = cogroup_join(
+        seg_orders, rev, left_on="o_orderkey", right_on="l_orderkey",
+        how="inner",
+        left_fields=[("o_orderkey", pa.int64()),
+                     ("c_mktsegment", pa.string()),
+                     ("month", pa.timestamp("us"))],
+        right_fields=[("l_orderkey", pa.int64()), ("rev", pa.int64())])
+
+    out = (joined.groupby(["c_mktsegment", "month"]).sum("rev")
+           .map_batches(lambda t: t.rename_columns(
+               ["c_mktsegment", "month", "revenue_c100"]),
+               batch_format="pyarrow", zero_copy_batch=True))
+    return (out.to_pandas().sort_values(["c_mktsegment", "month"])
+            .reset_index(drop=True))
+
+
+QUERIES["revenue_by_segment_month"] = q_revenue_by_segment_month
+ORACLE_SQL["revenue_by_segment_month"] = """
+    SELECT c.c_mktsegment,
+           date_trunc('month', o.o_orderdate) AS month,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_c100
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -284,36 +284,47 @@ def cogroup_join(
                     return None
         return out
 
-    def _wrap_and_fields(ds, side, override):
+    def _wrap_and_fields(ds, side, override, keys):
+        wrapped = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                                 zero_copy_batch=True)
         if override is not None:
-            wrapped = ds.map_batches(lambda t: t, batch_format="pyarrow",
-                                     zero_copy_batch=True)
             if isinstance(override, pa.Schema):
                 override = list(zip(override.names, override.types))
             return wrapped, list(override)
-        # probe the RAW schema first: for read/map/aggregate plans it is
-        # statically known, whereas probing after the no-op wrap forces an
-        # execution fragment that can surface a zero-column empty block from
-        # a hash aggregate and come back None. When the static schema has
-        # unmappable numpy dtypes (map_groups pandas blocks with object
-        # strings), fall back to ONE materialized row — this re-executes
-        # that input's upstream once, so deep join chains pay an extra
-        # fragment, never a wrong schema.
-        fields = _arrow_fields(ds.schema())
-        wrapped = ds.map_batches(lambda t: t, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-        if fields is not None:
-            return wrapped, fields
+        # schema-resolution ladder. A probe is accepted only if every type
+        # maps to Arrow AND the join keys are present — this version of Ray
+        # can return None for wrapped aggregate+map chains, numpy object
+        # dtypes for map_groups pandas blocks, and STALE pre-rename names
+        # from Dataset.rename_columns' static plan schema (the key check
+        # catches that one). Last rung materializes ONE row — that
+        # re-executes this input's upstream once, so deep join chains pay
+        # an extra fragment, never a wrong schema. Callers on hot paths
+        # pass left_fields/right_fields to skip probing entirely.
+        for probe in (wrapped, ds):
+            try:
+                fields = _arrow_fields(probe.schema())
+            except Exception:
+                fields = None
+            if fields is not None and set(keys) <= {n for n, _ in fields}:
+                return wrapped, fields
         try:
             b = wrapped.take_batch(1, batch_format="pyarrow")
         except Exception as e:
             raise ValueError(
                 f"cogroup_join could not resolve an Arrow schema for the "
                 f"{side} input (empty dataset with no static schema?)") from e
-        return wrapped, list(zip(b.schema.names, b.schema.types))
+        fields = list(zip(b.schema.names, b.schema.types))
+        missing = set(keys) - {n for n, _ in fields}
+        if missing:
+            raise ValueError(
+                f"cogroup_join {side} input is missing join key(s) "
+                f"{sorted(missing)}; columns are {[n for n, _ in fields]}")
+        return wrapped, fields
 
-    left_ds, l_fields = _wrap_and_fields(left_ds, "left", left_fields)
-    right_ds, r_fields = _wrap_and_fields(right_ds, "right", right_fields)
+    left_ds, l_fields = _wrap_and_fields(left_ds, "left", left_fields,
+                                         left_on)
+    right_ds, r_fields = _wrap_and_fields(right_ds, "right", right_fields,
+                                          right_on)
     l_cols = [n for n, _ in l_fields]
     r_cols = [n for n, _ in r_fields]
     overlap = set(l_cols) & set(r_cols)

@@ -187,3 +187,35 @@ def test_dup_span_strip_planted():
     got = {r["doc_id"]: r["text"] for r in out.take_all()}
     assert got == {1: "x y z w", 2: "q r",
                    3: "totally unrelated words here", 4: ""}
+
+
+def test_dup_span_strip_consistent_with_stats():
+    """Invariant: tokens removed by strip == coverage counted by stats,
+    on a seeded corpus with planted repeats."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.dedup import dup_span_stats, dup_span_strip
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    boiler = "copy right footer text"
+    texts = []
+    for i in range(30):
+        words = list(rng.choice(vocab, rng.integers(6, 14)))
+        if i % 3 == 0:
+            words.insert(int(rng.integers(0, len(words))), boiler)
+        texts.append(" ".join(" ".join(words).split(" ")))
+    docs = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                     "text": pa.array(texts)})
+    ds = ray.data.from_arrow(docs)
+    stats = {r["doc_id"]: r["n_dup_tokens"]
+             for r in dup_span_stats(ds, ngram=4, min_count=2).take_all()}
+    stripped = {r["doc_id"]: r["text"]
+                for r in dup_span_strip(ds, ngram=4, min_count=2).take_all()}
+    assert len(stripped) == 30
+    for i, orig in enumerate(texts):
+        n_orig = len(orig.split(" "))
+        n_new = len(stripped[i].split(" ")) if stripped[i] else 0
+        assert n_orig - n_new == stats.get(i, 0), (i, orig, stripped[i])
