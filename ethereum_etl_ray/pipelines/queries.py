@@ -3465,3 +3465,150 @@ ORACLE_SQL["revenue_by_segment_month"] = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered-funnel analytics: users reaching view → click → purchase in
+    strict timestamp order. All of a user's events co-locate under one hash
+    partition (stages/grouped.py:map_copartitions), where each step is one
+    vectorized masked groupby-min against the previous step's per-user
+    threshold; partitions emit 3 partial counts, one tiny aggregate sums
+    them. Constant 3-step loop, never a per-user Python loop."""
+    from ethereum_etl_ray.stages.grouped import map_copartitions
+
+    steps = ["view", "click", "purchase"]
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        counts, thr = [], None
+        for st in steps:
+            sub = df[df["event_type"] == st]
+            if thr is not None:
+                tmap = sub["user_id"].map(thr)
+                sub = sub[tmap.notna() & (sub["ts"] > tmap)]
+            thr = sub.groupby("user_id")["ts"].min()
+            counts.append(len(thr))
+        return pa.table({"step": pa.array([1, 2, 3], pa.int64()),
+                         "event_type": pa.array(steps, pa.string()),
+                         "n_users": pa.array(counts, pa.int64())})
+
+    partial = map_copartitions(ds, "user_id", per_part)
+    out = (partial.groupby(["step", "event_type"]).sum("n_users")
+           .map_batches(lambda t: t.rename_columns(
+               ["step", "event_type", "n_users"]), batch_format="pyarrow"))
+    return out.to_pandas().sort_values("step").reset_index(drop=True)
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation extraction: top-20 adjacent token pairs by a rational
+    PMI score c_ab·T² / (B·n_a·n_b) — exact integers end to end, one float
+    division, no log (bit-identical across engines). Bigram counts reuse
+    the bpe_pair_counts combiner; the unigram table is aggregate-bounded by
+    |vocab| (the size of a tokenizer vocabulary, not the corpus) so it
+    broadcasts; the final selection is the shuffle-free partial top-k."""
+    from ethereum_etl_ray.stages.topk import topk
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def uni_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t.column("text"),
+                                                pattern=" "))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    uni = (docs.map_batches(uni_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("tok").sum("n").to_pandas())
+    uni.columns = ["tok", "n"]
+    uni_map = dict(zip(uni["tok"], (int(x) for x in uni["n"])))
+    T = sum(uni_map.values())
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        toks = pc.split_pattern(text, pattern=" ")
+        flat = pc.list_flatten(toks)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ends = np.cumsum(lens) - 1
+        mask = np.ones(n - 1, bool)
+        mask[ends[ends < n - 1]] = False
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1), "\x1f")
+        vc = joined.filter(pa.array(mask)).value_counts()
+        return pa.table({"pair": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    bi = (docs.map_batches(pair_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+          .groupby("pair").sum("n")
+          .map_batches(lambda t: t.rename_columns(["pair", "n"]),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    B = int(bi.sum("n"))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n"), pa.scalar(5)))
+        pairs = t.column("pair").to_pylist()
+        cnts = t.column("n").to_pylist()
+        toks_ab = [p.split("\x1f", 1) for p in pairs]
+        # exact-int numerator/denominator, one float division (HUGEINT twin)
+        s = [float(c * T * T) / float(B * uni_map[a] * uni_map[b])
+             for (a, b), c in zip(toks_ab, cnts)]
+        return pa.table({
+            "tok_a": pa.array([ab[0] for ab in toks_ab], pa.string()),
+            "tok_b": pa.array([ab[1] for ab in toks_ab], pa.string()),
+            "n": pa.array(cnts, pa.int64()),
+            "pmi_ratio": pa.array(s, pa.float64())})
+
+    scored = bi.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = topk(scored, ["pmi_ratio", "tok_a", "tok_b"], 20,
+               descending=[True, False, False])
+    return out.reset_index(drop=True)
+
+
+QUERIES["funnel_counts"] = q_funnel_counts
+QUERIES["pmi_bigrams"] = q_pmi_bigrams
+
+ORACLE_SQL["funnel_counts"] = """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event_type,
+             CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY step
+"""
+ORACLE_SQL["pmi_bigrams"] = """
+    WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1
+    ),
+    tot AS (SELECT sum(c) AS t FROM uni),
+    pairs AS (
+      SELECT unnest(list_zip(ts[1:-2], ts[2:-1])) AS pr
+      FROM toks WHERE len(ts) >= 2
+    ),
+    bi AS (SELECT pr[1] AS a, pr[2] AS b, CAST(count(*) AS BIGINT) AS c
+           FROM pairs GROUP BY 1, 2),
+    btot AS (SELECT sum(c) AS bsum FROM bi)
+    SELECT a AS tok_a, b AS tok_b, bi.c AS n,
+           CAST(bi.c * t * t AS DOUBLE)
+             / CAST(bsum * ua.c * ub.c AS DOUBLE) AS pmi_ratio
+    FROM bi, tot, btot
+    JOIN uni ua ON ua.tok = a
+    JOIN uni ub ON ub.tok = b
+    WHERE bi.c >= 5
+    ORDER BY pmi_ratio DESC, tok_a, tok_b LIMIT 20
+"""
