@@ -3612,3 +3612,105 @@ ORACLE_SQL["pmi_bigrams"] = """
     WHERE bi.c >= 5
     ORDER BY pmi_ratio DESC, tok_a, tok_b LIMIT 20
 """
+
+
+def q_ntile_by_user(sf_dir: str):
+    """Grouped NTILE(4): each event's value quartile WITHIN its user.
+    Complements the global `ntile_orders` (distributed boundary selection);
+    here every key's rows co-locate under one hash partition
+    (map_copartitions) and the tile assignment is closed-form index math
+    over one stable sort per partition — no per-group Python."""
+    from ethereum_etl_ray.stages.grouped import map_copartitions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    tiles = 4
+
+    def assign(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["user_id", "value", "event_id"], kind="stable")
+              .reset_index(drop=True))
+        g = df.groupby("user_id", sort=False)
+        k = g.cumcount().to_numpy()                  # 0-based rank in key
+        n = g["event_id"].transform("size").to_numpy()
+        q, r = n // tiles, n % tiles
+        big = r * (q + 1)                            # rows in the fat tiles
+        fat = k < big
+        tile = np.where(fat,
+                        k // np.maximum(q + 1, 1) + 1,
+                        r + (k - big) // np.maximum(q, 1) + 1)
+        return pa.table({"event_id": pa.array(df["event_id"].to_numpy(),
+                                              pa.int64()),
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    out = map_copartitions(ds, "user_id", assign)
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+QUERIES["ntile_by_user"] = q_ntile_by_user
+ORACLE_SQL["ntile_by_user"] = """
+    SELECT event_id,
+           CAST(ntile(4) OVER (PARTITION BY user_id
+                               ORDER BY value, event_id) AS BIGINT) AS tile
+    FROM events ORDER BY event_id
+"""
+
+
+def q_rank_metrics_by_user(sf_dir: str):
+    """The SQL window-rank family per key in ONE co-partitioned pass:
+    rank (competition), dense_rank, percent_rank, cume_dist of each event's
+    value within its user — run detection over one stable sort, all four
+    metrics closed-form from run boundaries (ints; the two float metrics
+    are single divisions of exact ints, bit-identical to the oracle)."""
+    from ethereum_etl_ray.stages.grouped import map_copartitions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def metrics(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["user_id", "value", "event_id"], kind="stable")
+              .reset_index(drop=True))
+        u = df["user_id"].to_numpy()
+        v = df["value"].to_numpy()
+        m = len(df)
+        idx = np.arange(m)
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        new_run = new_user | np.concatenate([[True], v[1:] != v[:-1]])
+        user_start = idx[new_user][np.cumsum(new_user) - 1]
+        run_id = np.cumsum(new_run) - 1
+        run_start = idx[new_run][run_id]
+        # end of run = start of next run - 1 (last run ends at m-1)
+        starts = idx[new_run]
+        run_end = np.concatenate([starts[1:], [m]])[run_id] - 1
+        g = df.groupby("user_id", sort=False)
+        n = g["event_id"].transform("size").to_numpy()
+        rnk = run_start - user_start + 1
+        den = np.maximum(n - 1, 1)
+        prnk = (rnk - 1).astype(np.float64) / den.astype(np.float64)
+        prnk[n == 1] = 0.0
+        cd = (run_end - user_start + 1).astype(np.float64) / n.astype(np.float64)
+        dense = np.empty(m, np.int64)
+        # dense rank: count of runs since the user's first run
+        user_first_run = run_id[new_user][np.cumsum(new_user) - 1]
+        dense = run_id - user_first_run + 1
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+            "rnk": pa.array(rnk.astype(np.int64)),
+            "drnk": pa.array(dense.astype(np.int64)),
+            "prnk": pa.array(prnk, pa.float64()),
+            "cd": pa.array(cd, pa.float64())})
+
+    out = map_copartitions(ds, "user_id", metrics)
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+QUERIES["rank_metrics_by_user"] = q_rank_metrics_by_user
+ORACLE_SQL["rank_metrics_by_user"] = """
+    SELECT event_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value)
+    ORDER BY event_id
+"""
