@@ -421,7 +421,11 @@ def _dup_hits(
     """Occurrences of corpus-duplicated token ``ngram``s as (doc_id, pos)
     rows — the shared core of ``dup_span_stats`` / ``dup_span_strip``.
 
-    Dataflow (two passes over the corpus, nothing driver-resident):
+    Dataflow (two passes over the corpus, nothing driver-resident — the
+    gram-occurrence stage deliberately re-executes for the count branch and
+    the join branch rather than ``materialize()``-ing: the token-position
+    stream is LARGER than the input corpus, so pinning it in the object
+    store would trade a cheap second scan for corpus-scale spill):
       1. gram occurrences (gram, doc, pos) — shifted-slice joins over the
          flattened token stream, doc-boundary masked, no per-row Python;
       2. duplicated-gram set: per-batch ``value_counts`` combiner → one hash

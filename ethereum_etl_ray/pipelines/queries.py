@@ -2962,6 +2962,30 @@ ORACLE_SQL["embedding_cosine_pairs"] = """
 # --------------------------------------------------------------------------
 
 
+def _adjacent_pair_counts(t: pa.Table) -> pa.Table:
+    """Doc-boundary-masked adjacent token-pair counts for one batch —
+    shared combiner of q_bpe_pair_counts and q_pmi_bigrams. Null text is
+    treated as empty (fill_null, like every sibling tokenizer); pairs are
+    0x1f-joined so pair-string order equals (tok_a, tok_b) tuple order."""
+    text = pc.fill_null(t.column("text").combine_chunks(), "")
+    toks = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(toks)
+    n = len(flat)
+    if n < 2:
+        return pa.table({"pair": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ends = np.cumsum(lens) - 1          # last-token index of each doc
+    mask = np.ones(n - 1, bool)
+    mask[ends[ends < n - 1]] = False    # drop pairs straddling docs
+    joined = pc.binary_join_element_wise(
+        flat.slice(0, n - 1), flat.slice(1), "\x1f")
+    vc = joined.filter(pa.array(mask)).value_counts()
+    return pa.table({"pair": vc.field("values"),
+                     "n": pc.cast(vc.field("counts"), pa.int64())})
+
+
 def q_bpe_pair_counts(sf_dir: str):
     """First BPE merge-induction step: exact corpus-wide counts of adjacent
     token pairs, top 30. Pairs are formed by a shifted-vector zip over the
@@ -2974,26 +2998,7 @@ def q_bpe_pair_counts(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["text"])
 
-    def pair_counts(t: pa.Table) -> pa.Table:
-        text = t.column("text").combine_chunks()
-        toks = pc.split_pattern(text, pattern=" ")
-        flat = pc.list_flatten(toks)
-        n = len(flat)
-        if n < 2:
-            return pa.table({"pair": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        lens = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        ends = np.cumsum(lens) - 1          # last-token index of each doc
-        mask = np.ones(n - 1, bool)
-        mask[ends[ends < n - 1]] = False    # drop pairs straddling docs
-        joined = pc.binary_join_element_wise(
-            flat.slice(0, n - 1), flat.slice(1), "\x1f")
-        vc = joined.filter(pa.array(mask)).value_counts()
-        return pa.table({"pair": vc.field("values"),
-                         "n": pc.cast(vc.field("counts"), pa.int64())})
-
-    partial = docs.map_batches(pair_counts, batch_format="pyarrow",
+    partial = docs.map_batches(_adjacent_pair_counts, batch_format="pyarrow",
                                zero_copy_batch=True)
     totals = (partial.groupby("pair").sum("n")
               .map_batches(lambda t: t.rename_columns(["pair", "n"]),
@@ -3071,7 +3076,9 @@ def q_regr_slope(sf_dir: str):
         n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
                                int(r["sxy"]), int(r["sxx"]))
         num, den = n * sxy - sx * sy, n * sxx - sx * sx
-        slopes.append(float(num) / float(den))
+        # DuckDB DOUBLE division by zero yields NULL — mirror it (constant
+        # quantity in a group), don't raise
+        slopes.append(float(num) / float(den) if den else None)
     out = pd.DataFrame({"l_returnflag": sums["l_returnflag"],
                         "l_linestatus": sums["l_linestatus"],
                         "slope": slopes})
@@ -3086,16 +3093,17 @@ def q_ntile_orders(sf_dir: str):
     broadcast into one vectorized map_batches that assigns each row
     1 + #boundaries strictly below it. The unique orderkey tie-break makes
     every boundary exact."""
-    from ethereum_etl_ray.stages.selection import kth_smallest, lex_lt
+    from ethereum_etl_ray.stages.selection import kth_smallest_multi, lex_lt
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    n = ds.count()
+    n = ds.count()  # metadata-only on a parquet read
     tiles = 4
     q, r = divmod(n, tiles)
     sizes = [q + 1] * r + [q] * (tiles - r)
     ranks = np.cumsum(sizes)[:-1]           # boundary ranks b1 < b2 < b3
     cols = ["o_totalprice", "o_orderkey"]
-    bounds = [kth_smallest(ds, cols, int(k)) for k in ranks]
+    # all three boundaries from ONE shared sampling + window sweep
+    bounds = kth_smallest_multi(ds, cols, [int(k) for k in ranks])
 
     def assign(t: pa.Table) -> pa.Table:
         tile = np.ones(t.num_rows, np.int64)
@@ -3525,31 +3533,14 @@ def q_pmi_bigrams(sf_dir: str):
     uni_map = dict(zip(uni["tok"], (int(x) for x in uni["n"])))
     T = sum(uni_map.values())
 
-    def pair_counts(t: pa.Table) -> pa.Table:
-        text = t.column("text").combine_chunks()
-        toks = pc.split_pattern(text, pattern=" ")
-        flat = pc.list_flatten(toks)
-        n = len(flat)
-        if n < 2:
-            return pa.table({"pair": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        lens = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        ends = np.cumsum(lens) - 1
-        mask = np.ones(n - 1, bool)
-        mask[ends[ends < n - 1]] = False
-        joined = pc.binary_join_element_wise(
-            flat.slice(0, n - 1), flat.slice(1), "\x1f")
-        vc = joined.filter(pa.array(mask)).value_counts()
-        return pa.table({"pair": vc.field("values"),
-                         "n": pc.cast(vc.field("counts"), pa.int64())})
-
-    bi = (docs.map_batches(pair_counts, batch_format="pyarrow",
+    bi = (docs.map_batches(_adjacent_pair_counts, batch_format="pyarrow",
                            zero_copy_batch=True)
           .groupby("pair").sum("n")
           .map_batches(lambda t: t.rename_columns(["pair", "n"]),
                        batch_format="pyarrow", zero_copy_batch=True))
-    B = int(bi.sum("n"))
+    # each doc of L tokens contributes L-1 in-doc pairs, so the bigram
+    # total is T - #docs — no second execution of the pair pipeline
+    B = T - docs.count()
 
     def score(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t.column("n"), pa.scalar(5)))
@@ -3688,7 +3679,6 @@ def q_rank_metrics_by_user(sf_dir: str):
         prnk = (rnk - 1).astype(np.float64) / den.astype(np.float64)
         prnk[n == 1] = 0.0
         cd = (run_end - user_start + 1).astype(np.float64) / n.astype(np.float64)
-        dense = np.empty(m, np.int64)
         # dense rank: count of runs since the user's first run
         user_first_run = run_id[new_user][np.cumsum(new_user) - 1]
         dense = run_id - user_first_run + 1
@@ -3713,4 +3703,62 @@ ORACLE_SQL["rank_metrics_by_user"] = """
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY value)
     ORDER BY event_id
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Weighted median (weighted order statistic): the smallest price whose
+    running quantity-weight reaches half the group total, per returnflag.
+    Co-partitioned groups, one stable sort + cumsum per partition (same
+    per-group-fits-a-partition contract as grouped_median/grouped_quantile;
+    for groups beyond that, the take_until_budget histogram-refinement
+    pattern generalizes to value order). Exact integer weights and cents —
+    no float anywhere."""
+    from ethereum_etl_ray.stages.grouped import map_copartitions
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "flag": t.column("l_returnflag"),
+            "price_c100": pa.array(_cents(t.column("l_extendedprice")
+                                          .to_numpy()), pa.int64()),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+        })
+
+    slim = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wmed(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["flag", "price_c100", "qty"], kind="stable"))
+        g = df.groupby("flag", sort=False)
+        cum = g["qty"].cumsum().to_numpy()
+        tot = g["qty"].transform("sum").to_numpy()
+        hit = df[cum * 2 >= tot]
+        out = hit.groupby("flag", sort=False)["price_c100"].min()
+        return pa.table({"flag": pa.array(out.index, pa.string()),
+                         "wmedian_c100": pa.array(out.to_numpy(), pa.int64())})
+
+    out = map_copartitions(slim, "flag", wmed)
+    return out.to_pandas().sort_values("flag").reset_index(drop=True)
+
+
+QUERIES["weighted_median"] = q_weighted_median
+ORACLE_SQL["weighted_median"] = """
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c100,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    o AS (
+      SELECT flag, price_c100, qty,
+             sum(qty) OVER (PARTITION BY flag ORDER BY price_c100, qty
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(qty) OVER (PARTITION BY flag) AS tot
+      FROM w
+    )
+    SELECT flag, min(price_c100) AS wmedian_c100
+    FROM o WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag
 """

@@ -13,8 +13,10 @@ vectorized by exploiting the structure of distance <= 1:
   len(shorter).
 * ``|len(a) - len(b)| >= 2``: lev >= 2, pruned without comparison.
 
-Both live cases are pure byte-matrix comparisons (numpy broadcasting over a
-padded uint8 matrix), no per-pair Python. The join is blocked: candidate
+Both live cases are pure matrix comparisons (numpy broadcasting over a
+padded uint32 CODE-POINT matrix — UTF-32 units, so distances are counted in
+characters exactly like SQL ``levenshtein``, not in UTF-8 bytes), no
+per-pair Python. The join is blocked: candidate
 pairs are generated only within a user-supplied ``block_col`` group (plus the
 implicit length band), so the quadratic term is per-block — the standard
 blocking assumption of fuzzy entity resolution. Each block must fit one
@@ -33,9 +35,11 @@ _PAIR_CHUNK = 1 << 22  # pairwise comparison rows held at once per block
 
 
 def _byte_matrix(names: list[bytes], width: int) -> np.ndarray:
-    mat = np.zeros((len(names), width), np.uint8)
+    # names are UTF-32-LE encodings: one uint32 per CHARACTER, so Hamming /
+    # indel tests count characters (matches SQL levenshtein on non-ASCII)
+    mat = np.zeros((len(names), width), np.uint32)
     for i, b in enumerate(names):
-        mat[i, :len(b)] = np.frombuffer(b, np.uint8)
+        mat[i, :len(b) // 4] = np.frombuffer(b, np.uint32)
     return mat
 
 
@@ -69,7 +73,10 @@ def _adjacent_len_pairs(mat: np.ndarray, short_idx: np.ndarray,
     s = mat[short_idx][:, :short_len]                # (ns, L)
     lng = mat[long_idx][:, :short_len + 1]           # (nl, L+1)
     out_s, out_l = [], []
-    step = max(1, _PAIR_CHUNK // max(1, short_len + 1))
+    # each chunk materializes (step, nl, L) bool tensors — bound by the
+    # FULL broadcast row cost nl*(L+1), not just L (review: a 2000x2000
+    # adjacent-length block would otherwise allocate gigabytes)
+    step = max(1, _PAIR_CHUNK // max(1, len(long_idx) * (short_len + 1)))
     for off in range(0, len(short_idx), step):
         sc = s[off:off + step]
         # prefix match length: first position where short != long-prefix
@@ -87,9 +94,9 @@ def _adjacent_len_pairs(mat: np.ndarray, short_idx: np.ndarray,
 
 def _block_pairs(g: pa.Table, key_col: str, text_col: str) -> pa.Table:
     keys = g.column(key_col).to_numpy(zero_copy_only=False)
-    names = [s.encode() if s is not None else b""
+    names = [s.encode("utf-32-le") if s is not None else b""
              for s in g.column(text_col).to_pylist()]
-    lens = np.array([len(b) for b in names], np.int64)
+    lens = np.array([len(b) // 4 for b in names], np.int64)  # characters
     width = int(lens.max(initial=0))
     mat = _byte_matrix(names, width)
     pair_a, pair_b = [], []

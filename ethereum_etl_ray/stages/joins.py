@@ -333,7 +333,21 @@ def cogroup_join(
     unified = l_fields + r_fields
 
     def widen(side_flag: int, key_cols: list[str]):
+        own = l_cols if side_flag == 0 else r_cols
+
         def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows:
+                # a resolved schema can still carry STALE names (e.g. Ray's
+                # rename_columns static plan schema) — padding this side's
+                # own missing columns with nulls would silently corrupt the
+                # join, so fail loudly instead
+                missing = [c for c in own if c not in t.column_names]
+                if missing:
+                    raise ValueError(
+                        f"cogroup_join: resolved schema names {own} do not "
+                        f"match actual batch columns {t.column_names} "
+                        f"(missing {missing}); pass left_fields/right_fields "
+                        "explicitly")
             cols = {}
             for name, typ in unified:
                 cols[name] = (t.column(name) if name in t.column_names

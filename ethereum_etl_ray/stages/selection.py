@@ -55,7 +55,20 @@ def kth_smallest(ds: ray.data.Dataset, cols: list[str], k: int,
     below-count/window — a k near the top would then miss its window or
     shift the cutoff. Ties across rows also shift counts: include a unique
     tie-break column for an exact boundary (see module docstring)."""
-    if k < 1:
+    return kth_smallest_multi(ds, cols, [k],
+                              sample_per_batch=sample_per_batch)[0]
+
+
+def kth_smallest_multi(ds: ray.data.Dataset, cols: list[str], ks: list[int],
+                       sample_per_batch: int = 1024) -> list[tuple]:
+    """Exact k-th smallest tuples for SEVERAL ranks in two shared passes —
+    one sampling pass brackets every rank at once, one window pass filters
+    the union of the brackets (e.g. all NTILE boundaries in one sweep
+    instead of 2 passes per boundary). Same null-free / unique-tie-break
+    contract as ``kth_smallest``."""
+    if not ks:
+        return []
+    if any(k < 1 for k in ks):
         raise ValueError("k is 1-indexed and must be >= 1")
     sub = ds.select_columns(cols)
     keys = [(c, "ascending") for c in cols]
@@ -94,8 +107,9 @@ def kth_smallest(ds: ray.data.Dataset, cols: list[str], k: int,
     if samples.empty:
         raise ValueError("k out of range for an empty dataset")
     total = int(samples.groupby(_TAG)["batch_rows"].first().sum())
-    if not (1 <= k <= total):
-        raise ValueError(f"k={k} out of range for {total} rows")
+    for k in ks:
+        if not (1 <= k <= total):
+            raise ValueError(f"k={k} out of range for {total} rows")
     samples = samples.sort_values(cols, kind="stable").reset_index(drop=True)
 
     # guaranteed rank bounds from exact local ranks (see retention._bracket)
@@ -106,31 +120,50 @@ def kth_smallest(ds: ray.data.Dataset, cols: list[str], k: int,
     next_r = samples.groupby(_TAG)["local_rank"].shift(-1)
     next_r = next_r.fillna(samples["batch_rows"].astype(float)).to_numpy().astype(np.int64)
     ub = total + np.cumsum((r - next_r)[::-1])[::-1]
-    lo_idx = np.flatnonzero(ub < k)
-    lo_j = int(lo_idx[-1]) if len(lo_idx) else 0    # global min always safe
-    hi_idx = np.flatnonzero(lb_excl >= k)
-    hi_j = int(hi_idx[0]) if len(hi_idx) else len(samples) - 1  # global max safe
-    lo = tuple(samples.iloc[lo_j][c] for c in cols)
-    hi = tuple(samples.iloc[hi_j][c] for c in cols)
+    bounds = []
+    for k in ks:
+        lo_idx = np.flatnonzero(ub < k)
+        lo_j = int(lo_idx[-1]) if len(lo_idx) else 0   # global min always safe
+        hi_idx = np.flatnonzero(lb_excl >= k)
+        hi_j = int(hi_idx[0]) if len(hi_idx) else len(samples) - 1
+        bounds.append((tuple(samples.iloc[lo_j][c] for c in cols),
+                       tuple(samples.iloc[hi_j][c] for c in cols)))
 
     def window(t: pa.Table) -> pa.Table:
-        below = lex_lt(t, cols, lo, strict=True)
-        n_below = pc.sum(pc.cast(below, pa.int64())).as_py() or 0
-        w = t.filter(pc.and_(pc.invert(below), lex_lt(t, cols, hi, strict=False)))
-        if w.num_rows:
-            nb = np.zeros(w.num_rows, dtype=np.int64)
-            nb[0] = n_below  # batch's below-count rides on its first row
-            return w.append_column("__n_below", pa.array(nb, pa.int64()))
-        return pa.table({**{c: pa.array([None], t.column(c).type) for c in cols},
-                         "__n_below": pa.array([n_below], pa.int64())})
+        belows = [lex_lt(t, cols, lo, strict=True) for lo, _ in bounds]
+        nb_vals = [pc.sum(pc.cast(b, pa.int64())).as_py() or 0 for b in belows]
+        keep = None
+        for b, (_, hi) in zip(belows, bounds):
+            m = pc.and_(pc.invert(b), lex_lt(t, cols, hi, strict=False))
+            keep = m if keep is None else pc.or_(keep, m)
+        w = t.filter(keep)
+        rows = max(w.num_rows, 1)
+        cols_out = ({c: w.column(c) for c in cols} if w.num_rows
+                    else {c: pa.array([None], t.column(c).type) for c in cols})
+        for i, nbv in enumerate(nb_vals):
+            nb = np.zeros(rows, dtype=np.int64)
+            nb[0] = nbv  # batch's below-count rides on its first row
+            cols_out[f"__n_below_{i}"] = pa.array(nb, pa.int64())
+        return pa.table(cols_out)
 
     win = sub.map_batches(window, batch_format="pyarrow").to_pandas()
-    n_below = int(win["__n_below"].sum())
-    rows = win.dropna(subset=[cols[0]]).sort_values(cols, kind="stable")
-    pos = k - n_below - 1
-    assert 0 <= pos < len(rows), (
-        f"selection window missed rank {k} (below={n_below}, window={len(rows)})")
-    return tuple(rows.iloc[pos][c] for c in cols)
+    rows_all = win.dropna(subset=[cols[0]]).sort_values(cols, kind="stable")
+    wt = pa.Table.from_pandas(rows_all[cols], preserve_index=False)
+    out = []
+    for i, (k, (lo, hi)) in enumerate(zip(ks, bounds)):
+        n_below = int(win[f"__n_below_{i}"].sum())
+        if wt.num_rows:
+            m = pc.and_(pc.invert(lex_lt(wt, cols, lo, strict=True)),
+                        lex_lt(wt, cols, hi, strict=False))
+            rows = rows_all[m.to_numpy(zero_copy_only=False)]
+        else:
+            rows = rows_all
+        pos = k - n_below - 1
+        assert 0 <= pos < len(rows), (
+            f"selection window missed rank {k} (below={n_below}, "
+            f"window={len(rows)})")
+        out.append(tuple(rows.iloc[pos][c] for c in cols))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -69,3 +69,14 @@ def test_matches_bruteforce_levenshtein():
 def test_empty_and_singleton_blocks():
     pairs = _run([(1, "only", 0), (2, "", 1), (3, "x", 2)])
     assert pairs == set()
+
+
+def test_non_ascii_counts_characters_not_bytes():
+    """'café'→'cafe' is one substitution (lev 1) even though the UTF-8
+    byte lengths differ; multi-byte substitutions count as one edit."""
+    pairs = _run([(1, "café", 0), (2, "cafe", 0),
+                  (3, "cafés", 0),              # one insertion vs 1
+                  (4, "tea", 0)])               # far from everything
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
