@@ -74,6 +74,7 @@ def curate_corpus(
     near_threshold: float = 0.7,
     sample_hex_lt: str | None = None,
     token_budget: int | None = None,
+    strip_spans_ngram: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: list[str] | None = None,
@@ -88,7 +89,11 @@ def curate_corpus(
     in deterministic md5 priority order (``stages.selection
     .take_until_budget`` over the annotate stage's ``n_tokens``) — the
     "curate down to a training budget" endpoint. ``keep_cols`` projects the
-    final output (default: the input's columns).
+    final output (default: the input's columns). ``strip_spans_ngram=N``
+    inserts duplicated-span stripping (dedup.dup_span_strip, fixed-N
+    ExactSubstr) after the filter and BEFORE exact dedup — removing shared
+    boilerplate first makes near-identical pages exactly identical, so the
+    cheap exact stage absorbs them.
     """
     from ethereum_etl_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup_pairs
     from ethereum_etl_ray.stages.components import dedup_apply
@@ -112,6 +117,18 @@ def curate_corpus(
     if collect_report:
         filtered = filtered.materialize()
         report["after_lang_quality"] = filtered.count()
+
+    if strip_spans_ngram is not None:
+        from ethereum_etl_ray.pipelines.dedup import dup_span_strip
+
+        filtered = dup_span_strip(
+            filtered, ngram=strip_spans_ngram, id_col=id_col,
+            text_col=text_col,
+            carry_cols=[c for c in sorted(carry)
+                        if c not in (id_col, text_col)])
+        if collect_report:
+            filtered = filtered.materialize()
+            report["after_span_strip"] = filtered.count()
 
     # ALWAYS checkpoint here: `exact` is the DAG's join point (consumed by
     # both the near-dup pair generation and the keep-one apply) and Ray

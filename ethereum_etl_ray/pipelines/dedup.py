@@ -535,6 +535,7 @@ def dup_span_strip(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Rewrite each document with corpus-duplicated spans REMOVED — the
     apply step over ``_dup_hits`` (cf. ``near_dedup_keep`` for whole-doc
@@ -546,7 +547,8 @@ def dup_span_strip(
     pass through byte-identical, and the rewrite is one vectorized pass:
     flatten tokens, scatter the covered index set into a keep mask, refilter
     and re-join per doc. A doc that is entirely duplicated spans becomes an
-    empty string (filter afterwards if desired)."""
+    empty string (filter afterwards if desired). ``carry_cols`` pass
+    through the rewrite untouched (annotations riding alongside text)."""
     import pyarrow.compute as pc
 
     from ethereum_etl_ray.stages.grouped import map_copartitions
@@ -585,17 +587,26 @@ def dup_span_strip(
         batch_format="pyarrow", zero_copy_batch=True)
     hitlists = map_copartitions(partial, "hdoc", merge_part)
 
+    carry = list(carry_cols or [])
+    left_cols = [id_col, text_col, *carry]
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    left_fields = ([(c, types[c]) for c in left_cols]
+                   if all(isinstance(types.get(c), pa.DataType)
+                          for c in left_cols) else None)
     joined = cogroup_join(
-        ds.select_columns([id_col, text_col]), hitlists,
+        ds.select_columns(left_cols), hitlists,
         left_on=id_col, right_on="hdoc", how="left",
-        left_fields=[(id_col, pa.int64()), (text_col, pa.string())],
+        left_fields=left_fields,
         right_fields=[("hdoc", pa.int64()), ("hpos_str", pa.string()),
                       ("n_hits", pa.int64())])
 
     def strip(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
-                                 text_col: pd.Series(dtype=object)})
+                                 text_col: pd.Series(dtype=object),
+                                 **{c: pd.Series(dtype=object)
+                                    for c in carry}})
         text = pa.array(df[text_col].fillna("").astype(str), pa.string())
         toks = pc.split_pattern(text, pattern=" ")
         flat = pc.list_flatten(toks)
@@ -620,7 +631,10 @@ def dup_span_strip(
                 else flat).filter(pa.array(keep))
         la = pa.ListArray.from_arrays(pa.array(off, pa.int32()), kept)
         new_text = pc.binary_join(la, " ")
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             text_col: new_text.to_pandas()})
+        out = {id_col: df[id_col].to_numpy(),
+               text_col: new_text.to_pandas()}
+        for c in carry:
+            out[c] = df[c].to_numpy()
+        return pd.DataFrame(out)
 
     return joined.map_batches(strip, batch_format="pandas")

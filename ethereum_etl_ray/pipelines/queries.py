@@ -3762,3 +3762,78 @@ ORACLE_SQL["weighted_median"] = """
     SELECT flag, min(price_c100) AS wmedian_c100
     FROM o WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag
 """
+
+
+def q_gap_fill_locf(sf_dir: str):
+    """LOCF resample (the state-series fill mode, complementing the
+    zero-fill `gap_fill_hourly`): per event type, hourly value sums in
+    exact cents with missing hours carrying the LAST OBSERVED hour's sum
+    forward. The dense range + forward fill happen inside a per-type
+    map_groups (one vectorized maximum.accumulate index carry)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hrs = (t.column("ts").cast(pa.int64()).to_numpy()
+               // 3_600_000_000) * 3_600_000_000
+        g = pa.table({"event_type": t.column("event_type"),
+                      "hr_us": pa.array(hrs),
+                      "s": pa.array(_cents(t.column("value").to_numpy()),
+                                    pa.int64())})
+        return g.group_by(["event_type", "hr_us"]).aggregate(
+            [("s", "sum")]).rename_columns(["event_type", "hr_us", "s"])
+
+    hourly = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "hr_us"]).sum("s")
+              .map_batches(lambda t: t.rename_columns(
+                  ["event_type", "hr_us", "s"]),
+                  batch_format="pyarrow", zero_copy_batch=True))
+
+    HOUR = 3_600_000_000
+
+    def fill(g: pa.Table) -> pa.Table:
+        hrs = g.column("hr_us").to_numpy()
+        vals = g.column("s").to_numpy()
+        lo = hrs.min()
+        full = np.arange(lo, hrs.max() + HOUR, HOUR)
+        m = len(full)
+        carried = np.zeros(m, np.int64)
+        pos = (hrs - lo) // HOUR
+        carried[pos] = vals
+        mask = np.zeros(m, bool)
+        mask[pos] = True
+        # index of the latest observed hour at or before each slot; the
+        # range starts at an observed hour, so the carry never reads -1
+        fill_idx = np.maximum.accumulate(np.where(mask, np.arange(m), -1))
+        et = g.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * m, pa.string()),
+            "hr": pa.array(full, pa.timestamp("us")),
+            "filled_c100": pa.array(carried[fill_idx], pa.int64())})
+
+    out = hourly.groupby("event_type").map_groups(fill, batch_format="pyarrow")
+    return (out.to_pandas().sort_values(["event_type", "hr"])
+            .reset_index(drop=True))
+
+
+QUERIES["gap_fill_locf"] = q_gap_fill_locf
+ORACLE_SQL["gap_fill_locf"] = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1
+    ), g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM b
+    )
+    SELECT g.event_type, g.hr,
+           last_value(h.s IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hr
+               ROWS UNBOUNDED PRECEDING) AS filled_c100
+    FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
+    ORDER BY 1, 2
+"""

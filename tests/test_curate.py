@@ -126,3 +126,35 @@ def test_token_budget_cut_is_greedy_md5_prefix():
     expect = set(full.doc_id[full.n_tokens.cumsum() <= 200])
     assert set(out.doc_id) == expect
     assert out.n_tokens.sum() <= 200
+
+
+def test_curate_with_span_strip_collapses_boilerplate_twins():
+    """Docs identical except for a shared boilerplate span collapse to one
+    survivor once strip_spans_ngram removes the repeated span first."""
+    import pyarrow as pa
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.curate import curate_corpus
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    boiler = "subscribe to our newsletter for updates"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            body + " " + boiler,          # twin A (boiler at end)
+            boiler + " " + body,          # twin B (boiler at front)
+            "a completely different page about other things entirely ok",
+        ]),
+        "n_chars": pa.array([10, 10, 10], pa.int64()),
+    })
+    ds = ray.data.from_arrow(docs)
+    kept, report = curate_corpus(
+        ds, langs=("en",), min_quality_ppm=0, near_threshold=0.99,
+        strip_spans_ngram=4, keep_cols=["doc_id"], collect_report=True)
+    ids = sorted(r["doc_id"] for r in kept.take_all())
+    # every 4-gram of body AND boiler repeats across docs 1/2 (only the
+    # seam grams differ) -> both docs strip to the same remnant -> exact
+    # dedup keeps the min doc_id
+    assert ids == [1, 3]
+    assert report["after_span_strip"] == 3
+    assert report["after_exact_dedup"] == 2
