@@ -1522,13 +1522,16 @@ def q_percentiles(sf_dir: str):
     under duplicate values without changing the selected value."""
     import math
 
-    from ethereum_etl_ray.stages.selection import kth_smallest
+    from ethereum_etl_ray.stages.selection import kth_smallest_multi
 
     ds = _read(sf_dir, "events", ["event_id", "value"])
     n = ds.count()
     ps = (0.25, 0.5, 0.9, 0.99)
-    vals = [float(kth_smallest(ds, ["value", "event_id"],
-                               max(1, math.ceil(p * n)))[0]) for p in ps]
+    ks = [max(1, math.ceil(p * n)) for p in ps]
+    # one shared sampling + window sweep for all four ranks (2 passes
+    # total, was 2 per percentile)
+    vals = [float(b[0]) for b in kth_smallest_multi(
+        ds, ["value", "event_id"], ks)]
     return pa.table({"p": pa.array(ps, pa.float64()),
                      "value": pa.array(vals, pa.float64())})
 
@@ -3836,4 +3839,72 @@ ORACLE_SQL["gap_fill_locf"] = """
                ROWS UNBOUNDED PRECEDING) AS filled_c100
     FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
     ORDER BY 1, 2
+"""
+
+
+def q_burst_pairs(sf_dir: str):
+    """Keyed band self-join (burst detection): pairs of events by the SAME
+    user within one hour of each other. Co-partition by user, one stable
+    time sort per partition, then a vectorized searchsorted band expansion
+    (pairs enumerated in time order via cumsum offset arithmetic — no
+    per-row Python); pair identity is normalized to (min, max) event_id so
+    it matches the unordered SQL self-join exactly."""
+    from ethereum_etl_ray.stages.grouped import map_copartitions
+
+    W_US = 3600 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                        kind="stable").reset_index(drop=True))
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy()
+        out_a, out_b, out_g, out_u = [], [], [], []
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        bounds = np.concatenate([starts, [len(u)]])
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s0:s1]
+            g = len(seg)
+            if g < 2:
+                continue
+            hi = np.searchsorted(seg, seg + W_US, side="right")
+            counts = hi - np.arange(g) - 1
+            total = int(counts.sum())
+            if not total:
+                continue
+            ii = np.repeat(np.arange(g), counts)
+            off0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            jj = np.arange(total) - off0[ii] + ii + 1
+            ea, eb = eid[s0 + ii], eid[s0 + jj]
+            out_a.append(np.minimum(ea, eb))
+            out_b.append(np.maximum(ea, eb))
+            out_g.append(seg[jj] - seg[ii])
+            out_u.append(np.full(total, u[s0]))
+        if not out_a:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "eid_a": pa.array([], pa.int64()),
+                             "eid_b": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "eid_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "eid_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "gap_us": pa.array(np.concatenate(out_g), pa.int64())})
+
+    out = map_copartitions(ds, "user_id", pairs)
+    return (out.to_pandas().sort_values(["user_id", "eid_a", "eid_b"])
+            .reset_index(drop=True))
+
+
+QUERIES["burst_pairs"] = q_burst_pairs
+ORACLE_SQL["burst_pairs"] = """
+    SELECT a.user_id,
+           least(a.event_id, b.event_id) AS eid_a,
+           greatest(a.event_id, b.event_id) AS eid_b,
+           abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= CAST(3600 AS BIGINT) * 1000000
+    ORDER BY 1, 2, 3
 """
