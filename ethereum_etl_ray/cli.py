@@ -161,6 +161,24 @@ def cmd_curate(args):
     print(json.dumps({"dest": args.dest, "stages": report}))
 
 
+def cmd_shards(args):
+    """Training-shard build: curate → deterministic shuffle → fixed-token
+    packing → one parquet directory per shard (pipelines/curate.py:
+    make_training_shards). Prints the deterministic shard manifest."""
+    _ray_up(args.num_cpus)
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.curate import make_training_shards
+
+    docs = ray.data.read_parquet(args.docs)
+    manifest = make_training_shards(
+        docs, args.dest, shards=args.shards,
+        tokens_per_seq=args.tokens_per_seq,
+        langs=tuple(args.langs.split(",")),
+        min_quality_ppm=args.min_quality_ppm)
+    print(json.dumps(manifest))
+
+
 def cmd_diff(args):
     """Changed urls between two retained manifest generations (incremental
     CDC consumer surface; the distributed analogue of diffing the
@@ -332,6 +350,15 @@ def main(argv=None):
                     help="md5 hash-split prefix, e.g. '4' keeps ~4/16")
     sp.add_argument("--token-budget", type=int, default=None)
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser("shards", help="documents parquet -> packed training shards")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--dest", required=True)
+    sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument("--tokens-per-seq", type=int, default=512)
+    sp.add_argument("--langs", default="en")
+    sp.add_argument("--min-quality-ppm", type=int, default=0)
+    sp.set_defaults(fn=cmd_shards)
 
     sp = sub.add_parser("diff", help="changed urls between two retained generations")
     sp.add_argument("--out", required=True)

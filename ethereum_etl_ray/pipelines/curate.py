@@ -174,3 +174,88 @@ def curate_corpus(
             report.get("after_sample", report["after_near_dedup"]))
         return kept, report
     return kept
+
+
+def make_training_shards(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    *,
+    shards: int = 8,
+    tokens_per_seq: int = 512,
+    langs: tuple[str, ...] = ("en",),
+    min_quality_ppm: int = 0,
+    near_threshold: float = 0.7,
+    strip_spans_ngram: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The training-data endpoint: curate → deterministic shuffle → pack →
+    hive-partitioned shard write.
+
+    Composition of the engine's own stages, end to end:
+      1. ``curate_corpus`` (lang/quality filter, optional duplicated-span
+         strip, exact + near dedup);
+      2. ``deterministic_shuffle`` — reproducible global permutation rank
+         (``pos``), identical across runs/partitionings/cluster sizes;
+      3. ``pack_sequences`` over ``pos`` order — fixed-token training
+         sequences via the distributed prefix sum;
+      4. one co-group join stamps (seq_id, shard = seq_id % shards) back
+         onto the curated rows, written as ONE DIRECTORY PER SHARD
+         (resumable layout: a failed run reruns missing shard dirs only).
+    Returns a manifest dict (docs, sequences, per-shard token totals) —
+    everything in it is deterministic."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from ethereum_etl_ray.functions.textstats import token_count
+    from ethereum_etl_ray.stages.joins import cogroup_join
+    from ethereum_etl_ray.stages.packing import pack_sequences
+    from ethereum_etl_ray.stages.shuffle import deterministic_shuffle
+
+    kept = curate_corpus(docs, langs=langs, min_quality_ppm=min_quality_ppm,
+                         near_threshold=near_threshold,
+                         strip_spans_ngram=strip_spans_ngram,
+                         id_col=id_col, text_col=text_col,
+                         keep_cols=[id_col, text_col])
+    ranked = deterministic_shuffle(kept, key_col=id_col, out_col="pos")
+
+    def ann(t: pa.Table) -> pa.Table:
+        return t.append_column("n_tokens", token_count(t.column(text_col)))
+
+    ranked = ranked.map_batches(ann, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    # pack over the SHUFFLED order (pos is dense 1..N by construction)
+    packed = pack_sequences(ranked, "pos", "n_tokens", tokens_per_seq)
+
+    def seq_shard(t: pa.Table) -> pa.Table:
+        sid = t.column("seq_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ppos": t.column("pos"),
+            "seq_id": pa.array(sid, pa.int64()),
+            "shard": pa.array(sid % shards, pa.int64())})
+
+    assign = packed.map_batches(seq_shard, batch_format="pyarrow")
+    joined = cogroup_join(
+        ranked.select_columns([id_col, text_col, "pos", "n_tokens"]),
+        assign, left_on="pos", right_on="ppos", how="inner",
+        left_fields=[(id_col, pa.int64()), (text_col, pa.string()),
+                     ("pos", pa.int64()), ("n_tokens", pa.int64())],
+        right_fields=[("ppos", pa.int64()), ("seq_id", pa.int64()),
+                      ("shard", pa.int64())])
+    final = joined.select_columns([id_col, text_col, "pos", "n_tokens",
+                                   "seq_id", "shard"]).materialize()
+    os.makedirs(out_dir, exist_ok=True)
+    final.write_parquet(out_dir, partition_cols=["shard"])
+
+    stats = (final.groupby("shard")
+             .aggregate(ray.data.aggregate.Sum("n_tokens",
+                                               alias_name="tokens"),
+                        ray.data.aggregate.Count(alias_name="docs"))
+             .to_pandas().sort_values("shard").reset_index(drop=True))
+    n_seq = int(final.max("seq_id")) + 1 if final.count() else 0
+    return {"shards": shards, "docs": int(stats["docs"].sum()),
+            "sequences": n_seq,
+            "per_shard": {int(r["shard"]): {"docs": int(r["docs"]),
+                                            "tokens": int(r["tokens"])}
+                          for _, r in stats.iterrows()}}

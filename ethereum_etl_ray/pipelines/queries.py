@@ -3908,3 +3908,29 @@ ORACLE_SQL["burst_pairs"] = """
      AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= CAST(3600 AS BIGINT) * 1000000
     ORDER BY 1, 2, 3
 """
+
+
+def q_training_shards(sf_dir: str):
+    """The training-data endpoint run end to end (pipelines/curate.py:
+    make_training_shards): curate → deterministic shuffle → fixed-token
+    packing → hive-partitioned shard write under /tmp scratch; returns the
+    deterministic per-shard manifest. Rows-only at the driver (the chain
+    includes hash-based near-dedup); structure + determinism oracle in
+    tests/test_curate.py."""
+    import shutil
+
+    from ethereum_etl_ray.pipelines.curate import make_training_shards
+
+    out_dir = "/tmp/webcdc_training_shards"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    m = make_training_shards(docs, out_dir, shards=8, tokens_per_seq=256,
+                             langs=("en",), near_threshold=0.7)
+    rows = sorted(m["per_shard"].items())
+    return pa.table({
+        "shard": pa.array([s for s, _ in rows], pa.int64()),
+        "docs": pa.array([v["docs"] for _, v in rows], pa.int64()),
+        "tokens": pa.array([v["tokens"] for _, v in rows], pa.int64())})
+
+
+QUERIES["training_shards"] = q_training_shards

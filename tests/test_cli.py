@@ -186,3 +186,29 @@ def test_cli_export_jsonl_roundtrip(cli_lake, tmp_path, capsys):
     assert rep["rows"] == len(rows) == len(lake)
     got = {r["url"]: r["text"] for r in rows}
     assert got == dict(zip(lake.url, lake.text))
+
+
+def test_cli_shards(tmp_path):
+    import glob
+    import json
+    import subprocess
+    import sys
+
+    docs = str(tmp_path / "docs.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([f"short english doc {i} with the and of words t{i}"
+                          for i in range(20)])}), docs)
+    dest = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "-m", "ethereum_etl_ray.cli", "--num-cpus", "4",
+         "shards", "--docs", docs, "--dest", dest, "--shards", "2",
+         "--tokens-per-seq", "16"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.loads(r.stdout.strip().splitlines()[-1])
+    assert manifest["shards"] == 2 and manifest["docs"] == 20
+    assert len(glob.glob(dest + "/shard=*/*.parquet")) >= 2

@@ -158,3 +158,38 @@ def test_curate_with_span_strip_collapses_boilerplate_twins():
     assert ids == [1, 3]
     assert report["after_span_strip"] == 3
     assert report["after_exact_dedup"] == 2
+
+
+def test_make_training_shards_deterministic_and_complete(tmp_path):
+    """Shard build: every curated doc lands in exactly one shard, shard
+    token totals add up, and two runs produce identical manifests."""
+    import glob
+
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.curate import make_training_shards
+
+    texts = [f"doc number {i} with several english words like the and of "
+             f"unique tail token{i}" for i in range(40)]
+    docs = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                     "text": pa.array(texts)})
+    outs = []
+    for run in (1, 2):
+        out = str(tmp_path / f"shards{run}")
+        m = make_training_shards(ray.data.from_arrow(docs), out,
+                                 shards=4, tokens_per_seq=32,
+                                 langs=("en",), near_threshold=0.95)
+        outs.append(m)
+        files = glob.glob(out + "/shard=*/*.parquet")
+        assert len({f.split("/shard=")[1].split("/")[0] for f in files}) == 4
+        df = duckdb.sql(
+            f"SELECT * FROM read_parquet('{out}/shard=*/*.parquet', "
+            "hive_partitioning=1)").df()
+        assert sorted(df["doc_id"]) == list(range(40))  # nothing dropped
+        assert (df.groupby("shard")["n_tokens"].sum().sum()
+                == df["n_tokens"].sum())
+        # pack invariant: every sequence holds >= 1 doc; seq ids are dense
+        assert set(df["seq_id"]) == set(range(m["sequences"]))
+    assert outs[0] == outs[1]
