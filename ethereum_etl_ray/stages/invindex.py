@@ -229,7 +229,7 @@ def phrase_count(ds: ray.data.Dataset, phrase: list[str], *,
 def sparse_cosine_pairs(
     ds: ray.data.Dataset,
     *,
-    max_df: int = 32,
+    max_df: int | float = 32,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -252,6 +252,13 @@ def sparse_cosine_pairs(
     import ray
 
     from ethereum_etl_ray.stages.joins import cogroup_join
+
+    if isinstance(max_df, float):
+        # fraction of the corpus (0 < f < 1): an absolute cap tuned for one
+        # corpus size silently keeps nothing at 20x the docs (soak finding)
+        if not 0 < max_df < 1:
+            raise ValueError("fractional max_df must be in (0, 1)")
+        max_df = max(1, int(max_df * ds.count()))
 
     tf = ds.map_batches(
         lambda b: doc_term_batch(b, text_col=text_col, id_col=id_col),

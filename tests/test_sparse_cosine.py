@@ -48,3 +48,12 @@ def test_threshold_filters():
     lo = _run(texts, max_df=10, threshold=0.1)
     assert len(hi) == 0                # every cosine is 0.5
     assert len(lo) == 3
+
+
+def test_fractional_max_df_scales_with_corpus():
+    # 8 docs; max_df=0.5 -> cap 4: 'common' (df 8) dropped, pairs only via
+    # the df-2 shared rare token
+    texts = ["common rare%d x" % (i // 2) for i in range(8)]
+    out = _run(texts, max_df=0.5, threshold=0.3)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert pairs == {(0, 1), (2, 3), (4, 5), (6, 7)}
