@@ -3934,3 +3934,19 @@ def q_training_shards(sf_dir: str):
 
 
 QUERIES["training_shards"] = q_training_shards
+
+
+def q_approx_distinct_by_type(sf_dir: str):
+    """Grouped HyperLogLog: approximate distinct users per event type
+    (stages/sketch.py:approx_distinct_by) — one 4 KiB register row per
+    (batch, group) moves, never the key stream. Rows-only at the driver;
+    error-bound pytest in tests/test_sketch.py."""
+    from ethereum_etl_ray.stages.sketch import approx_distinct_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = approx_distinct_by(ds, "event_type", "user_id")
+    return (out.to_pandas().sort_values("event_type")
+            .reset_index(drop=True))
+
+
+QUERIES["approx_distinct_by_type"] = q_approx_distinct_by_type

@@ -287,3 +287,49 @@ def approx_distinct(ds: ray.data.Dataset, key: str, *, p: int = 12,
         return 0.0
     assert len(rows) == 1, f"tree merge must yield one root row, got {len(rows)}"
     return HyperLogLog.deserialize(bytes(rows[0]["regs"]), p).estimate()
+
+
+def approx_distinct_by(ds: ray.data.Dataset, group_col: str, key: str, *,
+                       p: int = 12) -> ray.data.Dataset:
+    """Per-group approximate COUNT(DISTINCT ``key``) — the grouped
+    HyperLogLog (the exact grouped path pays a shuffle of every distinct
+    (group, key) pair; this moves one 2**p-byte register row per
+    (batch, group) regardless of key cardinality).
+
+    Per-batch: one HLL per group present in the batch (bounded by the
+    batch's distinct groups — for VERY high-cardinality grouping prefer the
+    exact pair-dedup path, where the pairs are the smaller object). Merge:
+    one co-partitioned bytewise-max fold per group. Output
+    (group, estimate) rows; standard error ≈ 1.04/sqrt(2**p).
+    """
+    from ethereum_etl_ray.stages.grouped import map_copartitions
+
+    def batch_regs(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, key]).to_pandas()
+        groups, regs = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            h = HyperLogLog(p)
+            h.add_many(sub[key].to_numpy())
+            groups.append(g)
+            regs.append(h.serialize())
+        gtype = t.schema.field(group_col).type
+        return pa.table({group_col: pa.array(groups, gtype),
+                         "regs": pa.array(regs, pa.binary())})
+
+    partials = ds.map_batches(batch_regs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        groups, ests = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            acc = np.zeros(1 << p, np.uint8)
+            for raw in sub["regs"]:
+                acc = np.maximum(acc, np.frombuffer(raw, dtype=np.uint8))
+            groups.append(g)
+            ests.append(HyperLogLog(p, acc).estimate())
+        gtype = t.schema.field(group_col).type
+        return pa.table({group_col: pa.array(groups, gtype),
+                         "estimate": pa.array(ests, pa.float64())})
+
+    return map_copartitions(partials, group_col, merge_part)

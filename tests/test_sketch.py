@@ -162,3 +162,28 @@ def test_approx_distinct_distributed(ray_session):
     # driver sees ONE sketch row regardless of partitioning (scale contract)
     est2 = approx_distinct(ds.repartition(2), "k", p=12)
     assert est2 == est  # partition-shape independent (max is associative)
+
+
+def test_approx_distinct_by_group_error_bound():
+    import pyarrow as pa
+    import ray.data
+
+    import numpy as np
+
+    from ethereum_etl_ray.stages.sketch import approx_distinct_by
+
+    rng = np.random.default_rng(3)
+    # three groups with known distinct cardinalities
+    card = {"a": 500, "b": 2000, "c": 37}
+    gs, ks = [], []
+    for g, n in card.items():
+        ids = rng.choice(n, n * 3) + (hash(g) % 97) * 1_000_000
+        gs += [g] * len(ids)
+        ks += list(ids)
+    t = pa.table({"g": pa.array(gs, pa.string()),
+                  "k": pa.array(ks, pa.int64())})
+    out = approx_distinct_by(ray.data.from_arrow(t), "g", "k", p=12)
+    got = {r["g"]: r["estimate"] for r in out.take_all()}
+    for g, n in card.items():
+        true = len(set(k for gg, k in zip(gs, ks) if gg == g))
+        assert abs(got[g] - true) / true < 0.08, (g, got[g], true)
