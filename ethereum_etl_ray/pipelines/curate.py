@@ -200,10 +200,15 @@ def make_training_shards(
       3. ``pack_sequences`` over ``pos`` order — fixed-token training
          sequences via the distributed prefix sum;
       4. one co-group join stamps (seq_id, shard = seq_id % shards) back
-         onto the curated rows, written as ONE DIRECTORY PER SHARD
-         (resumable layout: a failed run reruns missing shard dirs only).
+         onto the curated rows, written as ONE DIRECTORY PER SHARD.
     Returns a manifest dict (docs, sequences, per-shard token totals) —
-    everything in it is deterministic."""
+    everything in it is deterministic. The manifest is committed to
+    ``out_dir/_shards_manifest.json`` along with the build parameters;
+    a re-run with identical parameters returns the committed manifest
+    WITHOUT rebuilding (idempotent restart — the whole chain is
+    deterministic, so the shards on disk are already the answer)."""
+    import hashlib
+    import json
     import os
 
     import pyarrow.compute as pc
@@ -212,6 +217,26 @@ def make_training_shards(
     from ethereum_etl_ray.stages.joins import cogroup_join
     from ethereum_etl_ray.stages.packing import pack_sequences
     from ethereum_etl_ray.stages.shuffle import deterministic_shuffle
+
+    params = {"shards": shards, "tokens_per_seq": tokens_per_seq,
+              "langs": list(langs), "min_quality_ppm": min_quality_ppm,
+              "near_threshold": near_threshold,
+              "strip_spans_ngram": strip_spans_ngram,
+              "id_col": id_col, "text_col": text_col}
+    pdigest = hashlib.sha256(
+        json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+    mpath = os.path.join(out_dir, "_shards_manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            committed = json.load(f)
+        if committed.get("params_digest") == pdigest:
+            m = committed["manifest"]
+            m["per_shard"] = {int(k): v for k, v in m["per_shard"].items()}
+            return m
+        raise ValueError(
+            f"{out_dir} holds shards built with different parameters "
+            f"({committed.get('params_digest')} != {pdigest}); choose a "
+            "fresh out_dir or delete the old build explicitly")
 
     kept = curate_corpus(docs, langs=langs, min_quality_ppm=min_quality_ppm,
                          near_threshold=near_threshold,
@@ -225,6 +250,16 @@ def make_training_shards(
 
     ranked = ranked.map_batches(ann, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
+    if ranked.count() == 0:
+        manifest = {"shards": shards, "docs": 0, "sequences": 0,
+                    "per_shard": {}}
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = mpath + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"params_digest": pdigest, "params": params,
+                       "manifest": manifest}, f)
+        os.replace(tmp, mpath)
+        return manifest
     # pack over the SHUFFLED order (pos is dense 1..N by construction)
     packed = pack_sequences(ranked, "pos", "n_tokens", tokens_per_seq)
 
@@ -254,8 +289,14 @@ def make_training_shards(
                         ray.data.aggregate.Count(alias_name="docs"))
              .to_pandas().sort_values("shard").reset_index(drop=True))
     n_seq = int(final.max("seq_id")) + 1 if final.count() else 0
-    return {"shards": shards, "docs": int(stats["docs"].sum()),
-            "sequences": n_seq,
-            "per_shard": {int(r["shard"]): {"docs": int(r["docs"]),
-                                            "tokens": int(r["tokens"])}
-                          for _, r in stats.iterrows()}}
+    manifest = {"shards": shards, "docs": int(stats["docs"].sum()),
+                "sequences": n_seq,
+                "per_shard": {int(r["shard"]): {"docs": int(r["docs"]),
+                                                "tokens": int(r["tokens"])}
+                              for _, r in stats.iterrows()}}
+    tmp = mpath + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"params_digest": pdigest, "params": params,
+                   "manifest": manifest}, f)
+    os.replace(tmp, mpath)  # atomic commit: manifest present == build done
+    return manifest

@@ -62,7 +62,8 @@ def deterministic_shuffle(ds: ray.data.Dataset, key_col: str = "doc_id",
                                zero_copy_batch=True)
                   .groupby("__bucket").sum("n").to_pandas())
     counts = np.zeros(n_buckets, dtype=np.int64)
-    counts[per_bucket["__bucket"].to_numpy()] = per_bucket["sum(n)"].to_numpy()
+    if "__bucket" in per_bucket.columns:  # empty input loses its schema
+        counts[per_bucket["__bucket"].to_numpy()] =             per_bucket["sum(n)"].to_numpy()
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
 
     def add_bucket(t: pa.Table) -> pa.Table:

@@ -193,3 +193,33 @@ def test_make_training_shards_deterministic_and_complete(tmp_path):
         # pack invariant: every sequence holds >= 1 doc; seq ids are dense
         assert set(df["seq_id"]) == set(range(m["sequences"]))
     assert outs[0] == outs[1]
+
+
+def test_make_training_shards_idempotent_restart(tmp_path):
+    """A re-run with identical params returns the committed manifest
+    without rebuilding; different params on the same dir fail loudly."""
+    import os
+
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.curate import make_training_shards
+
+    docs = pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                     "text": pa.array(
+                         [f"doc number {i} with several english words "
+                          f"like the and of unique tail token{i}"
+                          for i in range(12)])})
+    out = str(tmp_path / "s")
+    m1 = make_training_shards(ray.data.from_arrow(docs), out, shards=2,
+                              tokens_per_seq=16, langs=("en",))
+    mpath = os.path.join(out, "_shards_manifest.json")
+    mtime = os.path.getmtime(mpath)
+    m2 = make_training_shards(ray.data.from_arrow(docs), out, shards=2,
+                              tokens_per_seq=16, langs=("en",))
+    assert m1 == m2
+    assert os.path.getmtime(mpath) == mtime  # nothing rewritten
+    with pytest.raises(ValueError, match="different parameters"):
+        make_training_shards(ray.data.from_arrow(docs), out, shards=4,
+                             tokens_per_seq=16, langs=("en",))
