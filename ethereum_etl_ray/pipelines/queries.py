@@ -3950,3 +3950,152 @@ def q_approx_distinct_by_type(sf_dir: str):
 
 
 QUERIES["approx_distinct_by_type"] = q_approx_distinct_by_type
+
+
+# --------------------------------------------------------------------------
+# Driver correctness-window ordering
+# --------------------------------------------------------------------------
+# The correctness driver compares the FIRST ~50 entries of ``QUERIES`` (dict
+# order) against their DuckDB oracles per round.  Order the registry so that
+# external verification coverage is maximised across rounds:
+#   1. four sentinel core ops (always re-checked),
+#   2. DuckDB-oracled queries that have never had a driver row (rotated into
+#      the window round-over-round until every oracled query has one),
+#   3. oracled queries already driver-green in a prior round,
+#   4. rows-only (no-oracle) queries last — the driver's weaker check.
+# r03 checked the first 50 keys of the old order (CORRECTNESS_r03.json);
+# the spill past this round's window rotates to the front in round 5.
+_QUERY_ORDER = [
+    "lww_latest_by_key",
+    "tombstone_merge",
+    "explode_tokens",
+    "hash_join_segment_status",
+    "deterministic_sample",
+    "cap_per_key",
+    "url_parse",
+    "domain_stats",
+    "decontaminate",
+    "shuffle_rank",
+    "inverted_postings",
+    "percentiles",
+    "range_join",
+    "bm25_scores",
+    "topn_per_key",
+    "grouped_median",
+    "window_lag_cumsum",
+    "rollup_counts",
+    "robust_outliers",
+    "multikey_join_group_stats",
+    "profile_events",
+    "pk_violations",
+    "phrase_count",
+    "search_topk",
+    "unpivot_metrics",
+    "outer_join_activity",
+    "count_distinct_by_key",
+    "argmax_by_type",
+    "pivot_event_types",
+    "value_histogram",
+    "corr_qty_discount",
+    "pii_redact",
+    "normalize_part",
+    "rep_stats",
+    "pack_sequences",
+    "chunk_docs",
+    "lm_score",
+    "bpe_pair_counts",
+    "regr_slope",
+    "ntile_orders",
+    "gap_fill_hourly",
+    "fuzzy_name_pairs",
+    "dup_span_stats",
+    "sparse_cosine_pairs",
+    "embedding_standardize",
+    "funnel_counts",
+    "pmi_bigrams",
+    "weighted_median",
+    "burst_pairs",
+    "ntile_by_user",
+    "gap_fill_locf",
+    "dup_span_strip",
+    "cube_counts",
+    "approx_grouped_median",
+    "user_value_profile",
+    "type_share",
+    "hourly_distinct_users",
+    "revenue_by_segment_month",
+    "rank_metrics_by_user",
+    "mode_event_type",
+    "string_agg_types",
+    "intersect_keys",
+    "grouped_mad",
+    "fww_first_by_key",
+    "retention_evict",
+    "projection_revenue",
+    "filter_dispatch",
+    "hex_roundtrip",
+    "distinct_union_keys",
+    "anti_join_users",
+    "derived_counts",
+    "table_counts",
+    "groupby_agg_pushdown",
+    "heavy_hitter_users",
+    "broadcast_join_brand_rev",
+    "asof_join_orders",
+    "graph_reach",
+    "enrich_segment_spend",
+    "topk_orders",
+    "window_hourly",
+    "exact_dedup_docs",
+    "doc_fingerprint",
+    "lang_id_docs",
+    "quality_docs",
+    "bpe_token_count",
+    "embedding_topk",
+    "ann_ivf_topk",
+    "ann_ivf_persisted",
+    "embedding_cosine_pairs",
+    "connected_components",
+    "corpus_filter_dedup",
+    "budget_sample",
+    "vocab_topk",
+    "stratified_sample",
+    "doc_keywords",
+    "json_extract_props",
+    "sessionize",
+    "window_sliding",
+    "multimodal_decode",
+    "multimodal_frames",
+    "winnow_fingerprint",
+    "ann_quantized_topk",
+    "ann_pq_topk",
+    "minhash_lsh_pairs",
+    "near_dedup_keep",
+    "corpus_curate",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "cms_heavy_hitters",
+    "random_sample",
+    "pagerank_keys",
+    "weighted_sample",
+    "compression_ratio",
+    "approx_distinct_users",
+    "cdc_replay_full",
+    "cdc_replay_ignore",
+    "cdc_resume_tail",
+    "cdc_bulk_load",
+    "lake_diff",
+    "incremental_lang_counts",
+    "stream_publish",
+    "schema_evolution_audit",
+    "training_shards",
+    "approx_distinct_by_type",
+]
+
+if set(_QUERY_ORDER) != set(QUERIES) or len(_QUERY_ORDER) != len(QUERIES):
+    raise RuntimeError(
+        "query registry drift: _QUERY_ORDER does not match QUERIES keys; "
+        f"missing={set(QUERIES) - set(_QUERY_ORDER)} "
+        f"extra={set(_QUERY_ORDER) - set(QUERIES)}"
+    )
+QUERIES = {k: QUERIES[k] for k in _QUERY_ORDER}

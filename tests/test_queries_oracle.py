@@ -70,3 +70,18 @@ def test_entry_smoke():
     df = check.to_pandas(res)
     assert len(df) > 0
     assert {"url", "text", "seq", "lang"} <= set(df.columns)
+
+
+def test_driver_window_ordering(contract):
+    """The driver checks the first ~50 QUERIES entries; the registry must keep
+    oracled queries at the front and rows-only (weaker check) queries last."""
+    qs, oracles = contract
+    keys = list(qs)
+    window = keys[:50]
+    assert all(k in oracles for k in window), [k for k in window if k not in oracles]
+    n_rows_only = len(keys) - len(oracles)
+    tail = keys[len(keys) - n_rows_only:]
+    assert all(k not in oracles for k in tail), [k for k in tail if k in oracles]
+    # sentinels stay pinned so every round re-verifies core merge/join semantics
+    assert window[:4] == ["lww_latest_by_key", "tombstone_merge",
+                          "explode_tokens", "hash_join_segment_status"]
