@@ -431,6 +431,39 @@ def q_graph_reach(sf_dir: str):
     return graph_reach(edges, starts, max_hops=3)
 
 
+def q_graph_path_value(sf_dir: str):
+    """J5 path-VALUE fold (reference src/tasks/extract/pool.py:246-290: price
+    = product of pool balance ratios along the BFS-found path): bounded-hop
+    reach over the order→part→brand graph carrying a multiplicative edge
+    weight; per (start, node) the max product over minimal-hop paths.
+    Weights are powers of 0.5 — exact in binary floating point, so the
+    engine and the DuckDB recursive-CTE oracle agree bit-for-bit.
+    Parallel edges (same order+part on two lineitems) exercise the max."""
+    from ethereum_etl_ray.stages.graph import graph_reach
+
+    def li_edges(t: pa.Table) -> pa.Table:
+        base = _ns_edges(t, "o:", "l_orderkey", "p:", "l_partkey")
+        exp = (t.column("l_linenumber").to_numpy(zero_copy_only=False)
+               % 3).astype(np.float64)
+        return base.append_column("w", pa.array(np.power(0.5, exp), pa.float64()))
+
+    def part_edges(t: pa.Table) -> pa.Table:
+        base = _ns_edges(t, "p:", "p_partkey", "b:", "p_brand")
+        exp = (t.column("p_partkey").to_numpy(zero_copy_only=False)
+               % 2).astype(np.float64)
+        return base.append_column("w", pa.array(np.power(0.5, exp), pa.float64()))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_linenumber"]).map_batches(
+        li_edges, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        part_edges, batch_format="pyarrow", zero_copy_batch=True)
+    start_keys = (_read(sf_dir, "orders", ["o_orderkey"])
+                  .filter(expr="o_orderkey <= 100").to_pandas())
+    starts = [f"o:{k}" for k in sorted(start_keys.o_orderkey)]
+    return graph_reach(li.union(parts), starts, max_hops=2, weight_col="w")
+
+
 def q_window_hourly(sf_dir: str):
     """Tumbling-window aggregate (streaming-shaped workload per the guide):
     events per (user, hour), value summed in cents."""
@@ -2003,6 +2036,7 @@ QUERIES = {
     "hash_join_segment_status": q_hash_join_segment_status,
     "asof_join_orders": q_asof_join_orders,
     "graph_reach": q_graph_reach,
+    "graph_path_value": q_graph_path_value,
     "enrich_segment_spend": q_enrich_segment_spend,
     "topk_orders": q_topk_orders,
     "window_hourly": q_window_hourly,
@@ -2242,6 +2276,30 @@ ORACLE_SQL = {
         )
         SELECT start, node, CAST(min(hops) AS BIGINT) AS hops
         FROM reach GROUP BY start, node
+    """,
+    "graph_path_value": """
+        WITH RECURSIVE e AS (
+          SELECT 'o:' || l_orderkey AS src, 'p:' || l_partkey AS dst,
+                 POWER(0.5, l_linenumber % 3) AS w FROM lineitem
+          UNION ALL
+          SELECT 'p:' || p_partkey, 'b:' || p_brand,
+                 POWER(0.5, p_partkey % 2) FROM part
+        ), reach(start, node, hops, val) AS (
+          SELECT 'o:' || o_orderkey, 'o:' || o_orderkey, 0,
+                 CAST(1.0 AS DOUBLE)
+          FROM orders WHERE o_orderkey <= 100
+          UNION ALL
+          SELECT r.start, e.dst, r.hops + 1, r.val * e.w
+          FROM reach r JOIN e ON e.src = r.node WHERE r.hops < 2
+        )
+        SELECT start, node, CAST(hops AS BIGINT) AS hops,
+               max(val) AS path_value
+        FROM (
+          SELECT start, node, hops, val,
+                 min(hops) OVER (PARTITION BY start, node) AS mh
+          FROM reach
+        ) WHERE hops = mh
+        GROUP BY start, node, hops
     """,
     "enrich_segment_spend": """
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
@@ -3970,6 +4028,7 @@ _QUERY_ORDER = [
     "tombstone_merge",
     "explode_tokens",
     "hash_join_segment_status",
+    "graph_path_value",
     "deterministic_sample",
     "cap_per_key",
     "url_parse",

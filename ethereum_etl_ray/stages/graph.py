@@ -35,21 +35,25 @@ import ray
 import ray.data
 
 
-def _state_table(df: pd.DataFrame, with_hops: bool) -> pa.Table:
+def _state_table(df: pd.DataFrame, with_hops: bool,
+                 with_val: bool = False) -> pa.Table:
     cols = {"start": pa.array(df["start"].astype(str), pa.string()),
             "node": pa.array(df["node"].astype(str), pa.string())}
     if with_hops:
         cols["hops"] = pa.array(df["hops"].to_numpy(np.int64), pa.int64())
+    if with_val:
+        cols["val"] = pa.array(df["val"].to_numpy(np.float64), pa.float64())
     return pa.table(cols)
 
 
 def _reach_rounds_ds(edges: ray.data.Dataset, visited: ray.data.Dataset,
                      frontier: ray.data.Dataset, first_hop: int, max_hops: int,
                      src_col: str, dst_col: str,
-                     num_partitions: int | None = None) -> ray.data.Dataset:
-    """The join-per-hop inner loop. ``visited`` is (start, node, hops),
-    ``frontier`` is (start, node); both stay Datasets throughout. Returns the
-    final visited Dataset."""
+                     num_partitions: int | None = None,
+                     weight_col: str | None = None) -> ray.data.Dataset:
+    """The join-per-hop inner loop. ``visited`` is (start, node, hops[, val]),
+    ``frontier`` is (start, node[, val]); both stay Datasets throughout.
+    Returns the final visited Dataset."""
     from ethereum_etl_ray.functions.hashing import partition_ids
     from ethereum_etl_ray.stages.joins import cogroup_join
 
@@ -58,14 +62,24 @@ def _reach_rounds_ds(edges: ray.data.Dataset, visited: ray.data.Dataset,
                 if ray.is_initialized() else 8)
         num_partitions = max(2, cpus)
 
-    def fr_side(t: pa.Table) -> pa.Table:
-        return pa.table({"__fstart": pc.cast(t.column("start"), pa.string()),
-                         "__fnode": pc.cast(t.column("node"), pa.string())})
+    weighted = weight_col is not None
 
-    edge_cols = (edges.map_batches(
-        lambda t: pa.table({"__esrc": pc.cast(t.column(src_col), pa.string()),
-                            "__edst": pc.cast(t.column(dst_col), pa.string())}),
-        batch_format="pyarrow", zero_copy_batch=True).materialize())
+    def fr_side(t: pa.Table) -> pa.Table:
+        cols = {"__fstart": pc.cast(t.column("start"), pa.string()),
+                "__fnode": pc.cast(t.column("node"), pa.string())}
+        if weighted:
+            cols["__fval"] = pc.cast(t.column("val"), pa.float64())
+        return pa.table(cols)
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        cols = {"__esrc": pc.cast(t.column(src_col), pa.string()),
+                "__edst": pc.cast(t.column(dst_col), pa.string())}
+        if weighted:
+            cols["__ew"] = pc.cast(t.column(weight_col), pa.float64())
+        return pa.table(cols)
+
+    edge_cols = (edges.map_batches(edge_side, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize())
 
     def key_of(start: np.ndarray, node: np.ndarray) -> np.ndarray:
         return np.char.add(np.char.add(start.astype(str), "\x00"),
@@ -76,13 +90,18 @@ def _reach_rounds_ds(edges: ray.data.Dataset, visited: ray.data.Dataset,
             s = t.column("start").to_numpy(zero_copy_only=False)
             n = t.column("node").to_numpy(zero_copy_only=False)
             k = key_of(s, n)
-            return pa.table({
+            cols = {
                 "start": pc.cast(t.column("start"), pa.string()),
                 "node": pc.cast(t.column("node"), pa.string()),
                 "__side": pa.array(np.full(t.num_rows, side_flag, np.int8),
                                    pa.int8()),
                 "__part": pa.array(partition_ids(k, num_partitions), pa.int32()),
-            })
+            }
+            if weighted:
+                # visited rows carry their committed val; candidates the
+                # freshly folded product — same column either way
+                cols["val"] = pc.cast(t.column("val"), pa.float64())
+            return pa.table(cols)
         return fn
 
     for hop in range(first_hop, max_hops + 1):
@@ -91,10 +110,18 @@ def _reach_rounds_ds(edges: ray.data.Dataset, visited: ray.data.Dataset,
         expanded = cogroup_join(fr, edge_cols, left_on="__fnode",
                                 right_on="__esrc",
                                 num_partitions=num_partitions)
-        new_raw = expanded.map_batches(
-            lambda t: pa.table({"start": pc.cast(t.column("__fstart"), pa.string()),
-                                "node": pc.cast(t.column("__edst"), pa.string())}),
-            batch_format="pyarrow", zero_copy_batch=True)
+
+        def fold(t: pa.Table) -> pa.Table:
+            cols = {"start": pc.cast(t.column("__fstart"), pa.string()),
+                    "node": pc.cast(t.column("__edst"), pa.string())}
+            if weighted:
+                cols["val"] = pc.multiply(
+                    pc.cast(t.column("__fval"), pa.float64()),
+                    pc.cast(t.column("__ew"), pa.float64()))
+            return pa.table(cols)
+
+        new_raw = expanded.map_batches(fold, batch_format="pyarrow",
+                                       zero_copy_batch=True)
 
         # one shuffle resolves BOTH (start,node) dedup and the anti-join
         # against visited: candidates and visited keys co-partition by key
@@ -108,13 +135,27 @@ def _reach_rounds_ds(edges: ray.data.Dataset, visited: ray.data.Dataset,
             k = key_of(s, n)
             cand, seen = ~side.astype(bool), side.astype(bool)
             fresh = cand & ~np.isin(k, k[seen])
-            _, first_idx = np.unique(k[fresh], return_index=True)
-            pick = np.flatnonzero(fresh)[first_idx]
-            return pa.table({
+            idx = np.flatnonzero(fresh)
+            if weighted:
+                # per new (start, node): the MAX path product among the
+                # minimal-hop paths discovered this round
+                v = g.column("val").to_numpy(zero_copy_only=False)
+                order = np.lexsort((-v[idx], k[idx]))
+                _, first_idx = np.unique(k[idx][order], return_index=True)
+                pick = idx[order][first_idx]
+            else:
+                _, first_idx = np.unique(k[idx], return_index=True)
+                pick = idx[first_idx]
+            cols = {
                 "start": pa.array(s[pick].astype(str), pa.string()),
                 "node": pa.array(n[pick].astype(str), pa.string()),
                 "hops": pa.array(np.full(len(pick), _hop, np.int64), pa.int64()),
-            })
+            }
+            if weighted:
+                cols["val"] = pa.array(
+                    g.column("val").to_numpy(zero_copy_only=False)[pick],
+                    pa.float64())
+            return pa.table(cols)
 
         new = (both.groupby("__part").map_groups(resolve, batch_format="pyarrow")
                .repartition(num_partitions).materialize())
@@ -127,19 +168,24 @@ def _reach_rounds_ds(edges: ray.data.Dataset, visited: ray.data.Dataset,
 
 def graph_reach_ds(edges: ray.data.Dataset, starts: list[str], max_hops: int,
                    *, src_col: str = "src", dst_col: str = "dst",
-                   num_partitions: int | None = None) -> ray.data.Dataset:
+                   num_partitions: int | None = None,
+                   weight_col: str | None = None) -> ray.data.Dataset:
     """Fully distributed ``graph_reach``: join-per-hop from the first hop,
     result stays a Dataset — the route for start sets / frontiers too large
     to broadcast (consume with ``write_parquet`` or downstream stages)."""
     starts = list(dict.fromkeys(starts))
-    seed = pa.table({"start": pa.array(starts, pa.string()),
-                     "node": pa.array(starts, pa.string()),
-                     "hops": pa.array(np.zeros(len(starts), np.int64), pa.int64())})
-    visited = ray.data.from_arrow(seed).materialize()
-    frontier = visited.map_batches(lambda t: t.select(["start", "node"]),
+    weighted = weight_col is not None
+    cols = {"start": pa.array(starts, pa.string()),
+            "node": pa.array(starts, pa.string()),
+            "hops": pa.array(np.zeros(len(starts), np.int64), pa.int64())}
+    if weighted:
+        cols["val"] = pa.array(np.ones(len(starts), np.float64), pa.float64())
+    visited = ray.data.from_arrow(pa.table(cols)).materialize()
+    fr_cols = ["start", "node"] + (["val"] if weighted else [])
+    frontier = visited.map_batches(lambda t: t.select(fr_cols),
                                    batch_format="pyarrow", zero_copy_batch=True)
     return _reach_rounds_ds(edges, visited, frontier, 1, max_hops,
-                            src_col, dst_col, num_partitions)
+                            src_col, dst_col, num_partitions, weight_col)
 
 
 def graph_reach(
@@ -149,12 +195,23 @@ def graph_reach(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
     frontier_threshold: int = 200_000,
 ) -> pd.DataFrame:
     """All nodes reachable from each start within ``max_hops`` directed hops.
 
     Returns ``(start, node, hops)`` with the MINIMAL hop count per
     (start, node) — hop 0 is the start itself. Deterministic.
+
+    With ``weight_col`` (the reference's J5 price fold,
+    ``src/tasks/extract/pool.py:246-290``: price = product of pool balance
+    ratios along the discovered path), the result gains ``path_value`` — for
+    each (start, node) the MAXIMUM over its minimal-hop paths of the product
+    of edge weights; starts get 1.0. Weights must be NON-NEGATIVE: the
+    per-hop max-fold is exact only because multiplying by w ≥ 0 preserves
+    the argmax over partial products (parallel edges are handled — each
+    contributes its own product). The fold is left-to-right along the path,
+    matching a sequential walk bit-for-bit.
 
     Hops run via frontier broadcast while the frontier is small; a hop whose
     frontier exceeds ``frontier_threshold`` rows escalates the REMAINING hops
@@ -163,13 +220,17 @@ def graph_reach(
     """
     from ethereum_etl_ray.stages.joins import semi_anti_filter
 
+    weighted = weight_col is not None
     # iterative reuse: pin the edge blocks in the (spillable) object store once
     # instead of re-executing the edge-build pipeline every hop
     edges = edges.materialize()
     starts = list(dict.fromkeys(starts))  # stable-unique
     visited = pd.DataFrame({"start": starts, "node": starts,
                             "hops": np.zeros(len(starts), dtype=np.int64)})
-    frontier = visited[["start", "node"]]
+    if weighted:
+        visited["val"] = np.ones(len(starts), dtype=np.float64)
+    fr_cols = ["start", "node"] + (["val"] if weighted else [])
+    frontier = visited[fr_cols]
     for hop in range(1, max_hops + 1):
         nodes = frontier["node"].unique()
         if not len(nodes):
@@ -177,9 +238,11 @@ def graph_reach(
         if len(frontier) > frontier_threshold:
             final = _reach_rounds_ds(
                 edges,
-                ray.data.from_arrow(_state_table(visited, with_hops=True)),
-                ray.data.from_arrow(_state_table(frontier, with_hops=False)),
-                hop, max_hops, src_col, dst_col)
+                ray.data.from_arrow(_state_table(visited, with_hops=True,
+                                                 with_val=weighted)),
+                ray.data.from_arrow(_state_table(frontier, with_hops=False,
+                                                 with_val=weighted)),
+                hop, max_hops, src_col, dst_col, weight_col=weight_col)
             visited = final.to_pandas()
             break
         fref = ray.put(frontier)
@@ -187,6 +250,11 @@ def graph_reach(
         def expand(batch: pd.DataFrame, _ref=fref) -> pd.DataFrame:
             f = ray.get(_ref)
             m = batch.merge(f, left_on=src_col, right_on="node")
+            if weighted:
+                m = m.assign(val=m["val"].to_numpy(np.float64)
+                             * m[weight_col].to_numpy(np.float64))
+                m = m[["start", dst_col, "val"]].rename(columns={dst_col: "node"})
+                return m.groupby(["start", "node"], as_index=False)["val"].max()
             return (m[["start", dst_col]].rename(columns={dst_col: "node"})
                     .drop_duplicates())
 
@@ -194,18 +262,24 @@ def graph_reach(
         new = sub.map_batches(expand, batch_format="pandas").to_pandas()
         if new.empty:
             break
-        new = new.drop_duplicates()
+        if weighted:
+            new = new.groupby(["start", "node"], as_index=False)["val"].max()
+        else:
+            new = new.drop_duplicates()
         # min-hops: anything already visited keeps its earlier (smaller) hop
         probe = new.merge(visited[["start", "node"]], on=["start", "node"],
                           how="left", indicator=True)
-        new = probe[probe["_merge"] == "left_only"][["start", "node"]].copy()
+        new = probe[probe["_merge"] == "left_only"][fr_cols].copy()
         if new.empty:
             break
         new["hops"] = np.int64(hop)
         visited = pd.concat([visited, new], ignore_index=True)
-        frontier = new[["start", "node"]]
-    return (visited.sort_values(["start", "hops", "node"], kind="stable")
-            .reset_index(drop=True))
+        frontier = new[fr_cols]
+    visited = (visited.sort_values(["start", "hops", "node"], kind="stable")
+               .reset_index(drop=True))
+    if weighted:
+        visited = visited.rename(columns={"val": "path_value"})
+    return visited
 
 
 def pagerank(

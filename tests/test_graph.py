@@ -141,3 +141,65 @@ def test_pagerank_routes_equivalent(ray_session):
             .set_index("node")["rank"])
     for node in fast.index:
         assert abs(fast.loc[node] - dist.loc[node]) < 1e-9
+
+
+def _wedges(triples):
+    return ray.data.from_items(
+        [{"src": s, "dst": d, "w": w} for s, d, w in triples])
+
+
+def test_path_value_max_over_min_hop_paths():
+    # two 2-hop paths a→{b,c}→d with products 0.5*0.5=0.25 and 0.25*1.0=0.25?
+    # make them differ: via b = 0.5*0.25 = 0.125, via c = 0.25*1.0 = 0.25
+    e = _wedges([("a", "b", 0.5), ("b", "d", 0.25),
+                 ("a", "c", 0.25), ("c", "d", 1.0)])
+    out = graph_reach(e, ["a"], max_hops=3, weight_col="w")
+    got = {(r.start, r.node): (r.hops, r.path_value)
+           for r in out.itertuples(index=False)}
+    assert got[("a", "a")] == (0, 1.0)
+    assert got[("a", "b")] == (1, 0.5)
+    assert got[("a", "c")] == (1, 0.25)
+    assert got[("a", "d")] == (2, 0.25)  # max over the two minimal paths
+
+
+def test_path_value_parallel_edges_take_max():
+    e = _wedges([("a", "b", 0.5), ("a", "b", 0.75)])
+    out = graph_reach(e, ["a"], max_hops=1, weight_col="w")
+    got = {(r.start, r.node): r.path_value for r in out.itertuples(index=False)}
+    assert got[("a", "b")] == 0.75
+
+
+def test_path_value_ignores_longer_higher_value_paths():
+    # a→d direct (w=0.1) is minimal (1 hop); a→b→d would give 0.9*0.9=0.81
+    # but is 2 hops — min-hop semantics keep 0.1
+    e = _wedges([("a", "d", 0.1), ("a", "b", 0.9), ("b", "d", 0.9)])
+    out = graph_reach(e, ["a"], max_hops=3, weight_col="w")
+    got = {(r.start, r.node): (r.hops, r.path_value)
+           for r in out.itertuples(index=False)}
+    assert got[("a", "d")] == (1, 0.1)
+
+
+def test_path_value_join_per_hop_route_matches_broadcast():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_nodes, n_edges = 40, 160
+    s = rng.integers(0, n_nodes, size=n_edges)
+    d = rng.integers(0, n_nodes, size=n_edges)
+    # powers of 0.5 → exact float products on every route
+    w = np.power(0.5, rng.integers(0, 3, size=n_edges).astype(float))
+    triples = [(f"n{a}", f"n{b}", float(x))
+               for a, b, x in zip(s, d, w) if a != b]
+    e = _wedges(triples)
+    starts = ["n0", "n1", "n2"]
+    broad = graph_reach(e, starts, max_hops=4, weight_col="w")
+    escal = graph_reach(e, starts, max_hops=4, weight_col="w",
+                        frontier_threshold=0)
+    key = lambda df: {(r.start, r.node): (r.hops, r.path_value)
+                      for r in df.itertuples(index=False)}
+    assert key(broad) == key(escal)
+
+    from ethereum_etl_ray.stages.graph import graph_reach_ds
+    ds = graph_reach_ds(e, starts, max_hops=4, weight_col="w").to_pandas()
+    ds = ds.rename(columns={"val": "path_value"})
+    assert key(broad) == key(ds)
