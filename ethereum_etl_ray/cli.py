@@ -187,16 +187,30 @@ def cmd_diff(args):
     from ethereum_etl_ray.pipelines.diff import lake_diff
 
     ds = lake_diff(args.out, args.from_gen, args.to_gen)
+    summary = {"out": args.out, "from": args.from_gen, "to": args.to_gen}
     if args.dest:
         ds.write_parquet(args.dest)
-    df = ds.to_pandas() if not args.dest else None
-    counts = (df.change.value_counts().to_dict() if df is not None else None)
-    summary = {"out": args.out, "from": args.from_gen, "to": args.to_gen}
-    if counts is not None:
-        summary["changes"] = {k: int(v) for k, v in sorted(counts.items())}
-        summary["total"] = int(len(df))
-    else:
         summary["dest"] = args.dest
+    else:
+        # per-change-kind counts via a map-side value_counts combiner —
+        # the driver sees O(kinds) rows, never the diff itself (a diff
+        # after a big backfill is O(changed urls × value columns))
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Sum
+
+        def vc(t: pa.Table) -> pa.Table:
+            v = pc.value_counts(pc.cast(t.column("change"), pa.string()))
+            return pa.table({"change": v.field("values"),
+                             "n": pc.cast(v.field("counts"), pa.int64())})
+
+        agg = (ds.map_batches(vc, batch_format="pyarrow")
+               .groupby("change").aggregate(Sum("n", alias_name="n"))
+               .to_pandas())
+        counts = ({} if agg.empty else
+                  dict(zip(agg["change"], agg["n"])))
+        summary["changes"] = {k: int(v) for k, v in sorted(counts.items())}
+        summary["total"] = int(sum(counts.values()))
     print(json.dumps(summary))
 
 

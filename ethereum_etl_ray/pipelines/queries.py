@@ -587,9 +587,11 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_embedding_cosine_pairs(sf_dir: str):
-    """Embedding-cosine near-dup pairs (exact path): all vec pairs with
-    4-dec-rounded cosine ≥ 0.4 (the synthetic embeddings have no planted
-    dups, so the threshold sits below the natural similarity ceiling)."""
+    """Embedding-cosine near-dup pairs: all vec pairs with 4-dec-rounded
+    cosine ≥ 0.4 (the synthetic embeddings have no planted dups, so the
+    threshold sits below the natural similarity ceiling). The stage
+    self-gates: corpora above exact_threshold rows auto-route to the
+    IVF-bucketed multi-probe path instead of broadcasting the matrix."""
     from ethereum_etl_ray.stages.ann import embedding_cosine_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

@@ -208,19 +208,29 @@ def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_centroids: int = 8,
 
 
 def embedding_cosine_pairs(ds: ray.data.Dataset, tau: float,
-                           id_col: str = "vec_id", emb_col: str = "embedding"
-                           ) -> pd.DataFrame:
+                           id_col: str = "vec_id", emb_col: str = "embedding",
+                           exact_threshold: int = 200_000) -> pd.DataFrame:
     """Exact embedding near-dup pairs: all (a < b) with cosine ≥ ``tau``.
 
     The normalized corpus matrix is broadcast ONCE (``ray.put``); each batch
     computes its block-row of the similarity matrix — O(N²/batches) compute
     per task, O(N·dim) broadcast, output-sized collection. Exact path for
-    corpora whose matrix fits the object store (~5 GB at 10M×128·f32); at
-    100 TB use ``embedding_bucketed_pairs`` (IVF-blocked candidates).
+    corpora whose matrix fits the object store (~5 GB at 10M×128·f32).
+
+    Exact-below / bucketed-above gate (the engine's standard pattern — cf.
+    LSH ``streaming_threshold``, ``winner_exact_threshold``,
+    ``frontier_threshold``, PageRank ``driver_threshold``): a corpus larger
+    than ``exact_threshold`` rows would broadcast a matrix that scales with
+    the corpus, so it auto-routes to ``embedding_bucketed_pairs`` with
+    2-probe IVF blocking (approximate: pairs sharing no probed bucket are
+    missed; same output schema and rounding rule).
 
     Scores are 4-decimal floor(x+.5)-rounded BEFORE thresholding so the
     membership boundary is reproducible across engines (same rule as the
     top-k oracle parity)."""
+    if ds.count() > exact_threshold:
+        return embedding_bucketed_pairs(ds, tau, id_col=id_col,
+                                        emb_col=emb_col, assign_probes=2)
     corpus = ds.select_columns([id_col, emb_col]).to_pandas()
     ids = corpus[id_col].to_numpy()
     mat = _normalize(np.stack(corpus[emb_col].to_numpy()).astype(np.float64))

@@ -1,12 +1,18 @@
-"""Multimodal (binary-payload) pipeline stages — plumbing real, codecs stubbed.
+"""Multimodal (binary-payload) pipeline stages.
 
 Treats image/audio/video as opaque ``binary`` columns with typed metadata,
 processed by actor-pool ``map_batches`` stages (codec "loaded" once per actor
-in ``__init__``). The container has no image/audio libraries, so the actual
-decode is stubbed: a clearly-marked deterministic fake parses the synthetic
-header below; attempting a real decode raises ``NotImplementedError``. The
-Ray-side plumbing — schema, batch sizing for wide binary rows, actor
-signature, output layout — is real and tested.
+in ``__init__``). Two codecs:
+
+* ``real=False`` (default): a deterministic fake parsing the synthetic
+  header below — exercises the plumbing without any image dependency.
+* ``real=True``: a REAL pure-numpy BMP decoder (BITMAPINFOHEADER, 24-bpp
+  uncompressed BI_RGB, bottom-up or top-down rows, 4-byte row padding) —
+  the format every image library emits without compression. Unsupported
+  BMP variants (palettized, RLE, OS/2 core headers) and non-BMP blobs
+  report ``decode_ok=False`` rather than raising, so one bad payload
+  can't kill a 100 TB scan. Richer codecs (PNG/JPEG) would plug into the
+  same actor signature via PIL/libvips where available.
 
 Payload format (synthetic): b"IMG1" + width(4B LE) + height(4B LE) + pixels.
 """
@@ -43,33 +49,79 @@ def make_blob_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     }, schema=BLOB_SCHEMA)
 
 
+def decode_bmp(b: bytes | None) -> tuple[np.ndarray, int, int] | None:
+    """Pure-numpy BMP decode: 24-bpp uncompressed BI_RGB with a
+    BITMAPINFOHEADER (or larger V4/V5 header). Returns ``(rgb HxWx3 uint8,
+    width, height)`` or ``None`` for anything unsupported/malformed."""
+    if b is None or len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:  # OS/2 BITMAPCOREHEADER etc.
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    planes = int.from_bytes(b[26:28], "little")
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down, height = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if data_off < 54 or len(b) < data_off + stride * height:
+        return None
+    rows = np.frombuffer(b, np.uint8, count=stride * height,
+                         offset=data_off).reshape(height, stride)
+    arr = rows[:, : w * 3].reshape(height, w, 3)
+    if not top_down:
+        arr = arr[::-1]  # bottom-up storage order
+    return arr[:, :, ::-1].copy(), w, height  # BGR → RGB
+
+
+def encode_bmp(rgb: np.ndarray, top_down: bool = False) -> bytes:
+    """Inverse of ``decode_bmp`` (24-bpp BI_RGB): for sinks and tests."""
+    height, w = rgb.shape[0], rgb.shape[1]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((height, stride), np.uint8)
+    bgr = rgb[:, :, ::-1]
+    rows[:, : w * 3] = bgr.reshape(height, w * 3)
+    if not top_down:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    size = 54 + len(data)
+    header = (b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + (-height if top_down else height).to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+              + b"\0" * 16)
+    return header + data
+
+
 class DecodeImage:
     """Actor-pool decode stage. ``real=False`` (default) parses the synthetic
-    header; ``real=True`` documents where a real codec (PIL/libvips) plugs in
-    and raises ``NotImplementedError`` in this container."""
+    header; ``real=True`` runs the pure-numpy BMP codec (``decode_bmp``)."""
 
     def __init__(self, real: bool = False):
         self.real = real
-        if real:
-            try:
-                import PIL.Image  # noqa: F401 — not in this container
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real image decode requires an image library (PIL/libvips); "
-                    "not available in this environment — use the deterministic "
-                    "fake decoder (real=False)"
-                ) from e
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column("blob").to_pylist()
-        w = np.empty(len(blobs), np.int32)
-        h = np.empty(len(blobs), np.int32)
-        ok = np.empty(len(blobs), bool)
+        w = np.zeros(len(blobs), np.int32)
+        h = np.zeros(len(blobs), np.int32)
+        ok = np.zeros(len(blobs), bool)
         for i, b in enumerate(blobs):
-            good = b is not None and b[:4] == MAGIC and len(b) >= 12
-            ok[i] = good
-            w[i] = int.from_bytes(b[4:8], "little") if good else 0
-            h[i] = int.from_bytes(b[8:12], "little") if good else 0
+            if self.real:
+                dec = decode_bmp(b)
+                if dec is not None:
+                    ok[i], w[i], h[i] = True, dec[1], dec[2]
+            else:
+                good = b is not None and b[:4] == MAGIC and len(b) >= 12
+                ok[i] = good
+                w[i] = int.from_bytes(b[4:8], "little") if good else 0
+                h[i] = int.from_bytes(b[8:12], "little") if good else 0
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "width": pa.array(w, pa.int32()),
@@ -80,10 +132,11 @@ class DecodeImage:
 
 
 def decode_blobs(ds: ray.data.Dataset, *, concurrency: int = 2,
-                 batch_size: int = 256) -> ray.data.Dataset:
+                 batch_size: int = 256, real: bool = False) -> ray.data.Dataset:
     """Wide-binary-row stage: SMALL batch size (payload bytes, not row count,
     set the memory budget) and an actor pool so codec init happens once."""
     return ds.map_batches(DecodeImage, batch_format="pyarrow",
+                          fn_constructor_kwargs={"real": real},
                           batch_size=batch_size, concurrency=concurrency)
 
 

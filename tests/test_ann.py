@@ -174,3 +174,26 @@ def test_persisted_ivf_index_prunes_and_matches(clustered, tmp_path):
     # well-clustered data: probing ONE bucket directory keeps full recall
     pruned = ivf_search(idx, qids, mat[qids], k=5, nprobe=1)
     assert set(pruned.vec_id) == set(bf.vec_id)
+
+
+def test_cosine_pairs_auto_gate_routes_large_corpora(clustered, monkeypatch):
+    """Above exact_threshold the stage must take the bucketed multi-probe
+    route instead of broadcasting the whole corpus matrix."""
+    import ethereum_etl_ray.stages.ann as ann
+
+    ds, _ = clustered
+    calls = {}
+    real = ann.embedding_bucketed_pairs
+
+    def spy(*a, **kw):
+        calls["kw"] = kw
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ann, "embedding_bucketed_pairs", spy)
+    # under the threshold: exact path, spy untouched
+    ann.embedding_cosine_pairs(ds, tau=0.9, exact_threshold=10_000)
+    assert not calls
+    # over the threshold: routed, 2-probe
+    out = ann.embedding_cosine_pairs(ds, tau=0.9, exact_threshold=0)
+    assert calls["kw"].get("assign_probes") == 2
+    assert {"vec_a", "vec_b", "cos_4"} <= set(out.columns)

@@ -35,9 +35,55 @@ def test_corrupt_blob_flagged_not_raised():
     assert row["decode_ok"] is False and row["n_pixels"] == 0
 
 
-def test_real_codec_clearly_stubbed():
-    with pytest.raises(NotImplementedError, match="image library"):
-        DecodeImage(real=True)
+def test_real_bmp_codec_roundtrip():
+    import numpy as np
+
+    from ethereum_etl_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for w, h, top_down in [(5, 3, False), (4, 2, True), (1, 1, False),
+                           (7, 6, True)]:  # w=5,7 exercise row padding
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dec = decode_bmp(encode_bmp(rgb, top_down=top_down))
+        assert dec is not None
+        arr, gw, gh = dec
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(arr, rgb)
+
+
+def test_real_bmp_codec_rejects_unsupported_without_raising():
+    import numpy as np
+
+    from ethereum_etl_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    assert decode_bmp(None) is None
+    assert decode_bmp(b"NOPE") is None
+    assert decode_bmp(b"BM" + b"\0" * 40) is None  # truncated header
+    good = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    good[28:30] = (8).to_bytes(2, "little")  # palettized bpp → unsupported
+    assert decode_bmp(bytes(good)) is None
+
+
+def test_decode_blobs_real_codec_on_planted_bmps(ray_session):
+    import numpy as np
+
+    from ethereum_etl_ray.stages.multimodal import encode_bmp
+
+    rng = np.random.default_rng(5)
+    blobs = [encode_bmp(rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)),
+             b"not a bmp",
+             encode_bmp(rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8),
+                        top_down=True)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "blob": pa.array(blobs, pa.binary()),
+        "media_type": pa.array(["image/bmp"] * 3, pa.string()),
+    }))
+    rows = sorted(decode_blobs(ds, real=True).to_pandas()
+                  .to_dict("records"), key=lambda r: r["doc_id"])
+    assert rows[0]["decode_ok"] and (rows[0]["width"], rows[0]["height"]) == (6, 4)
+    assert not rows[1]["decode_ok"] and rows[1]["n_pixels"] == 0
+    assert rows[2]["decode_ok"] and (rows[2]["width"], rows[2]["height"]) == (3, 2)
 
 
 def test_resize_exact_dims_and_composes_with_decode():
