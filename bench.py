@@ -228,6 +228,20 @@ def run_once(include_queries: bool) -> dict:
     if include_queries:
         os.sync()  # fence headline lake writeback out of the query windows
         result["queries"] = _bench_queries()
+    # large-corpus soak (VERDICT r3 #8): 5× the default event count so a
+    # scale regression can't hide behind the small corpus. Cached corpus,
+    # min-of-2, same workload shape as the headline. BENCH_SOAK=0 skips.
+    if include_queries and os.environ.get("BENCH_SOAK", "1") != "0" and not BULK:
+        soak = ensure_corpus(SF_DIR, events_per_doc=EVENTS_PER_DOC * 5,
+                             unique_urls=False)
+        os.sync()
+        s_sec, s_events = _headline(soak)
+        os.sync()
+        s2, _ = _headline(soak)
+        s_sec = min(s_sec, s2)
+        result["corpus_15m"] = {
+            "sec": round(s_sec, 3), "events": s_events,
+            "events_per_sec": round(s_events / s_sec, 1)}
     ray.shutdown()
     return result
 

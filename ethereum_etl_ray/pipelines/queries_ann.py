@@ -1,0 +1,253 @@
+"""Embedding / ANN / multimodal operator queries: brute-force and IVF
+top-k, persisted+quantized indexes, cosine pair mining, embedding
+standardization and the binary-blob decode/frame stages.
+"""
+
+# This module is one shard of the query registry; see
+# ethereum_etl_ray/pipelines/queries.py for assembly and ordering.
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+from ethereum_etl_ray.stages.merge import lww_merge_dataset
+from ethereum_etl_ray.util import pool_size
+from ethereum_etl_ray.pipelines.queries_common import (  # noqa: F401
+    _cents,
+    _read,
+)
+
+
+_N_QUERIES = 8
+
+
+_TOPK = 5
+
+
+def _query_vectors(sf_dir: str):
+    q = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+    qdf = q.filter(expr=f"vec_id < {_N_QUERIES}").to_pandas().sort_values("vec_id")
+    return qdf.vec_id.to_numpy(), np.stack(qdf.embedding.to_numpy()).astype(np.float64)
+
+
+def q_embedding_topk(sf_dir: str):
+    from ethereum_etl_ray.stages.ann import brute_force_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, ids, mat, k=_TOPK)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF variant probing ALL buckets → exact, shares the brute-force oracle."""
+    from ethereum_etl_ray.stages.ann import ivf_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, ids, mat, k=_TOPK, n_centroids=8, nprobe=None)
+
+
+def q_embedding_cosine_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs: all vec pairs with 4-dec-rounded
+    cosine ≥ 0.4 (the synthetic embeddings have no planted dups, so the
+    threshold sits below the natural similarity ceiling). The stage
+    self-gates: corpora above exact_threshold rows auto-route to the
+    IVF-bucketed multi-probe path instead of broadcasting the matrix."""
+    from ethereum_etl_ray.stages.ann import embedding_cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_cosine_pairs(ds, tau=0.4)
+
+
+def q_ann_ivf_persisted(sf_dir: str):
+    """Persisted-IVF path: k-means index built + written as bucket-partitioned
+    parquet, probe reads only bucket directories. nprobe=all ⇒ exact, so it
+    shares the brute-force oracle."""
+    import shutil
+    import tempfile
+
+    from ethereum_etl_ray.stages.ann import build_ivf_index, ivf_search
+
+    # per-run unique dir: a fixed sf_dir-keyed path would let a concurrent
+    # run's rmtree race this one's in-flight probe reads; removed once the
+    # (materialized) search result is in hand
+    idx = tempfile.mkdtemp(prefix="webcdc_ivf_")
+    try:
+        ids, mat = _query_vectors(sf_dir)
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(ds, idx, n_centroids=8, kmeans_iters=2)
+        return ivf_search(idx, ids, mat, k=_TOPK, nprobe=None)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def q_ann_quantized_topk(sf_dir: str):
+    """Approximate top-k over the int8-quantized corpus (4× smaller index;
+    int32-accumulated integer dot products). Rows-only at the driver:
+    quantization is approximate by design — tests/test_quantize.py carries
+    the recall@k ≥ 0.8 oracle vs the exact float top-k, exactness on
+    separated clusters, and the persisted-index round-trip."""
+    from ethereum_etl_ray.stages.quantize import quantized_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return quantized_topk(ds, ids, mat, k=_TOPK)
+
+
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantized top-k (m=16 one-byte subspaces — 16 bytes/vector vs
+    256 float32; ADC lookup-table scoring). Rows-only at the driver: PQ is
+    approximate by design — tests/test_pq.py carries the planted-near-dup,
+    cluster-membership, and persisted round-trip oracles."""
+    from ethereum_etl_ray.stages.quantize import pq_topk, pq_train
+
+    ids, mat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, m=16, k=64, iters=4)
+    return pq_topk(ds, ids, mat, books, k=_TOPK)
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Binary-payload decode stage (stub codec, real plumbing)."""
+    from ethereum_etl_ray.stages.multimodal import decode_blobs, make_blob_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    blobs = ds.map_batches(make_blob_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return decode_blobs(blobs)
+
+
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sampling explode over video-shaped blobs (every 4th frame, one
+    row per sampled frame with the parent key) — media analogue of E2/E5."""
+    from ethereum_etl_ray.stages.multimodal import (
+        DecodeImage,
+        make_blob_batch,
+        sample_frames,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    blobs = ds.map_batches(make_blob_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    frames = sample_frames(blobs, every_k=4)
+
+    def shape(t: pa.Table) -> pa.Table:
+        d = DecodeImage()(t)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "frame_idx": pc.cast(t.column("frame_idx"), pa.int64()),
+            "width": pc.cast(d.column("width"), pa.int64()),
+            "height": pc.cast(d.column("height"), pa.int64()),
+        })
+
+    return frames.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_MM_W = "GREATEST(1, LEAST(length(text), 64))"
+
+
+def q_embedding_standardize(sf_dir: str):
+    """Per-dimension z-score feature scaling over the embedding column
+    (stages/ann.py:standardize_embeddings): integer-exact moment sums,
+    one broadcast vectorized apply, exploded (vec_id, dim, z) output."""
+    from ethereum_etl_ray.stages.ann import standardize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = standardize_embeddings(ds)
+    return (out.to_pandas().sort_values(["vec_id", "dim"])
+            .reset_index(drop=True))
+
+
+QUERIES = {
+    "embedding_topk": q_embedding_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_persisted": q_ann_ivf_persisted,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "ann_pq_topk": q_ann_pq_topk,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "embedding_standardize": q_embedding_standardize,
+}
+
+ORACLE = {
+    "embedding_topk": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+          FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ), c AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+          FROM embeddings
+        ), s AS (
+          SELECT q.query_id, c.vec_id,
+                 list_cosine_similarity(q.qe, c.ce) AS sim
+          FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+               floor(sim * 10000 + 0.5) / 10000.0 AS score
+        FROM s
+        QUALIFY rank <= {_TOPK}
+    """,
+    "embedding_cosine_pairs": """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10000 + 0.5)
+             / 10000.0 AS cos_4
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE floor(list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10000 + 0.5)
+            / 10000.0 >= 0.4
+""",
+    "multimodal_decode": f"""
+        SELECT doc_id,
+               CAST({_MM_W} AS INT) AS width,
+               CAST(GREATEST(1, (length(text) + {_MM_W} - 1) // {_MM_W}) AS INT) AS height,
+               CAST({_MM_W} AS BIGINT) * CAST(GREATEST(1, (length(text) + {_MM_W} - 1) // {_MM_W}) AS BIGINT) AS n_pixels,
+               TRUE AS decode_ok
+        FROM documents
+    """,
+    "multimodal_frames": f"""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, CAST(h - 1 AS BIGINT), 4)) AS BIGINT)
+             AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(1 AS BIGINT) AS height
+    FROM (
+      SELECT doc_id, {_MM_W} AS w,
+             GREATEST(1, (length(text) + {_MM_W} - 1) // {_MM_W}) AS h
+      FROM documents
+    )
+""",
+    "embedding_standardize": """
+    WITH e AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+    ),
+    stats AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(xq) AS s,
+             sum(xq * xq) AS ss
+      FROM e GROUP BY dim
+    )
+    SELECT e.vec_id, e.dim,
+           (CAST(xq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt(CAST(n * ss - s * s AS DOUBLE)) / CAST(n AS DOUBLE))
+             AS z
+    FROM e JOIN stats USING (dim)
+    ORDER BY vec_id, dim
+""",
+}
+
+# IVF with full probe is exact, so both share the brute-force oracle
+ORACLE["ann_ivf_topk"] = ORACLE["embedding_topk"]
+ORACLE["ann_ivf_persisted"] = ORACLE["embedding_topk"]
