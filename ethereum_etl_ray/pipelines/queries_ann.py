@@ -65,6 +65,26 @@ def q_embedding_cosine_pairs(sf_dir: str):
     return embedding_cosine_pairs(ds, tau=0.4)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    pairs (auto-gated exact/IVF-bucketed route, same tau=0.4 as
+    ``embedding_cosine_pairs``) → duplicate-cluster resolution → keep the
+    min-id representative of every cluster. Pure composition of the
+    engine's cosine-pair miner and ``dedup_apply`` (union-find below the
+    pair threshold, distributed min-label propagation above), so every leg
+    scales; the oracle is the recursive-CTE closure over the same pair
+    predicate."""
+    from ethereum_etl_ray.stages.ann import embedding_cosine_pairs
+    from ethereum_etl_ray.stages.components import dedup_apply
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_cosine_pairs(ds, tau=0.4)
+    kept = dedup_apply(ds, pairs, id_col="vec_id",
+                       a_col="vec_a", b_col="vec_b")
+    out = kept.select_columns(["vec_id"]).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_ann_ivf_persisted(sf_dir: str):
     """Persisted-IVF path: k-means index built + written as bucket-partitioned
     parquet, probe reads only bucket directories. nprobe=all ⇒ exact, so it
@@ -168,6 +188,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "semantic_dedup": q_semantic_dedup,
     "ann_quantized_topk": q_ann_quantized_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "multimodal_decode": q_multimodal_decode,
@@ -206,6 +227,29 @@ ORACLE = {
               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10000 + 0.5)
             / 10000.0 >= 0.4
+""",
+    "semantic_dedup": """
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE floor(list_cosine_similarity(
+                list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10000 + 0.5)
+              / 10000.0 >= 0.4
+    ), sym AS (
+      SELECT a, b FROM p UNION SELECT b, a FROM p
+    ), nodes AS (
+      SELECT DISTINCT a AS n FROM sym
+    ), reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+    ), drops AS (
+      SELECT n FROM reach GROUP BY n HAVING min(m) <> n
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT n FROM drops)
+    ORDER BY vec_id
 """,
     "multimodal_decode": f"""
         SELECT doc_id,

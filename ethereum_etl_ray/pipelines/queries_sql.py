@@ -222,6 +222,20 @@ def q_cms_heavy_hitters(sf_dir: str):
     return df.head(10)
 
 
+def q_tdigest_quantiles(sf_dir: str):
+    """Per-type approximate quantiles via the mergeable t-digest sketch
+    (stages/tdigest.py) — the rank-statistics member of the sketch family
+    (CMS frequency, HLL cardinality): one streaming pass, one digest row
+    per (batch, key), digests — never values — shuffled. Rows-only at the
+    driver (estimates depend on batch boundaries); the ≤2% rank-error
+    oracle vs exact quantiles lives in tests/test_tdigest.py."""
+    from ethereum_etl_ray.stages.tdigest import grouped_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value",
+                             [0.25, 0.5, 0.9, 0.99], delta=200)
+
+
 def q_deterministic_sample(sf_dir: str):
     """Deterministic hash-split sampling — the stable train/holdout-split
     operator a training-data pipeline needs (same rows selected on every
@@ -1170,6 +1184,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "window_sliding": q_window_sliding,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "tdigest_quantiles": q_tdigest_quantiles,
     "random_sample": q_random_sample,
     "deterministic_sample": q_deterministic_sample,
     "cap_per_key": q_cap_per_key,

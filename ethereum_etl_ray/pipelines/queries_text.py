@@ -731,6 +731,38 @@ def q_training_shards(sf_dir: str):
         "tokens": pa.array([v["tokens"] for _, v in rows], pa.int64())})
 
 
+def q_mixture_sample(sf_dir: str):
+    """Domain-mixing resampler (DataComp/Pile-style): downsample each
+    ``lang`` stratum to a uniform target mixture with a deterministic
+    hash gate, so the sampled corpus approaches equal per-lang shares
+    without any shuffle. Per-lang keep rates derive from one tiny
+    ``groupby(lang).count()`` (O(#langs) driver rows); the gate is
+    md5(doc_id) prefix < floor(rate·65536) rendered as a 4-hex string —
+    the same engine-portable convention as ``deterministic_sample`` —
+    with a ``'g'`` sentinel for rate ≥ 1 (keep-all strata)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = ds.groupby("lang").count().to_pandas()
+    total = float(counts["count()"].sum())
+    nl = len(counts)
+    thr = {}
+    for lang, cnt in zip(counts["lang"], counts["count()"]):
+        rate = min(1.0, (1.0 / nl) * total / float(cnt))
+        thr[lang] = "g" if rate >= 1.0 else format(int(np.floor(rate * 65536)), "04x")
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        langs = t.column("lang").to_pylist()
+        keep = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest()[:4] < thr[lg]
+             for i, lg in zip(ids, langs)),
+            dtype=bool, count=len(ids))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_fingerprint": q_doc_fingerprint,
@@ -768,9 +800,28 @@ QUERIES = {
     "dup_span_strip": q_dup_span_strip,
     "pmi_bigrams": q_pmi_bigrams,
     "training_shards": q_training_shards,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLE = {
+    "mixture_sample": """
+        WITH c AS (
+          SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang
+        ), t AS (
+          SELECT CAST(count(*) AS DOUBLE) AS total,
+                 (SELECT CAST(count(*) AS BIGINT) FROM c) AS nl
+          FROM documents
+        ), thr AS (
+          SELECT lang,
+                 CASE WHEN least(1.0, (1.0 / nl) * total / cnt) >= 1.0 THEN 'g'
+                      ELSE printf('%04x', CAST(floor(least(1.0, (1.0 / nl) * total / cnt) * 65536) AS INT))
+                 END AS h
+          FROM c, t
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN thr USING (lang)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.h
+    """,
     "exact_dedup_docs": """
         SELECT doc_id, lang, n_chars FROM (
           SELECT doc_id, lang, n_chars,
