@@ -161,6 +161,18 @@ def run_once(include_queries: bool) -> dict:
     # used for the scaling measurement. Default: update-heavy CDC replay.
     corpus = ensure_corpus(SF_DIR, events_per_doc=EVENTS_PER_DOC,
                            unique_urls=BULK)
+    # cold first-touch probe BEFORE priming: during a host page-supply
+    # stall this reads single-digit MB/s while the post-prime probe can
+    # still look healthy (the stall hits FRESH pages, which is exactly
+    # what the object store and workers allocate inside the timed draws).
+    # Recording both makes a slow headline self-adjudicating.
+    import numpy as np
+
+    _t0 = time.perf_counter()
+    _probe = np.empty(1 << 27, dtype=np.uint8)
+    _probe[::4096] = 1
+    fault_cold_mb_s = round(128.0 / (time.perf_counter() - _t0), 1)
+    del _probe
     _prime_guest_memory()
     # flush generation writes, then warm the OS page cache so we measure
     # compute+shuffle, not first-run disk I/O contention
@@ -202,8 +214,6 @@ def run_once(include_queries: bool) -> dict:
     # and inflates the bandwidth-bound replay phase. Recording it in the
     # bench line lets a reader attribute a slow headline without access to
     # the box.
-    import numpy as np
-
     _t0 = time.perf_counter()
     _probe = np.empty(1 << 27, dtype=np.uint8)
     _probe[::4096] = 1
@@ -223,6 +233,7 @@ def run_once(include_queries: bool) -> dict:
         "events": n_events,
         "events_per_sec": round(n_events / sec, 1),
         "fault_probe_mb_s": fault_mb_s,
+        "fault_probe_cold_mb_s": fault_cold_mb_s,
         "queries": {},
     }
     if include_queries:

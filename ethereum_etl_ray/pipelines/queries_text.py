@@ -731,6 +731,19 @@ def q_training_shards(sf_dir: str):
         "tokens": pa.array([v["tokens"] for _, v in rows], pa.int64())})
 
 
+def q_bpe_train_merges(sf_dir: str):
+    """Tokenizer training: the first 8 BPE merges learned over the corpus
+    (pipelines/bpe.py — corpus pass to a word-frequency table, then
+    vocab-bounded iterations). Rows-only at the driver (SQL cannot express
+    the iterative argmax-rewrite loop); the exact-sequence oracle vs a
+    single-process reference BPE lives in tests/test_bpe.py, including
+    partitioning invariance."""
+    from ethereum_etl_ray.pipelines.bpe import train_bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return train_bpe(ds, num_merges=8)
+
+
 def q_mixture_sample(sf_dir: str):
     """Domain-mixing resampler (DataComp/Pile-style): downsample each
     ``lang`` stratum to a uniform target mixture with a deterministic
@@ -801,6 +814,7 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "training_shards": q_training_shards,
     "mixture_sample": q_mixture_sample,
+    "bpe_train_merges": q_bpe_train_merges,
 }
 
 ORACLE = {
