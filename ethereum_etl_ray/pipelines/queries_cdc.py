@@ -453,6 +453,42 @@ def q_window_hourly(sf_dir: str):
     )
 
 
+def q_late_event_counts(sf_dir: str):
+    """Watermark semantics over a bounded-disorder stream
+    (stages/watermark.py): every 37th event's time is shifted 2 h back
+    (deterministic planted disorder — the synthetic stream is otherwise
+    monotone), events later than a 30-min allowed lateness behind the
+    arrival-order high-water mark are discarded, survivors are counted per
+    hour window. The two-phase distributed prefix max leaves O(buckets)
+    state on the driver; the oracle is the literal SQL running max."""
+    from ethereum_etl_ray.stages.watermark import watermark_filter
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def etime(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        shift = np.where(eid % 37 == 0, 7_200_000_000, 0)
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "etime_us": pa.array(us - shift, pa.int64())})
+
+    kept = watermark_filter(
+        ds.map_batches(etime, batch_format="pyarrow", zero_copy_batch=True),
+        order_col="event_id", time_us_col="etime_us",
+        allowed_lateness_us=1_800_000_000, bucket_width=4096)
+
+    def windows(t: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(t.column("etime_us"), pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64()))
+        vc = pc.value_counts(w)
+        return pa.table({"window_start": vc.field("values"),
+                         "n_kept": pc.cast(vc.field("counts"), pa.int64())})
+
+    return (kept.map_batches(windows, batch_format="pyarrow")
+            .groupby("window_start")
+            .aggregate(Sum("n_kept", alias_name="n_kept")))
+
+
 def q_connected_components(sf_dir: str):
     """Distributed connected components (stages.components — the cluster
     step of corpus dedup, generalizing the reference's distinct-as-dedup
@@ -701,6 +737,7 @@ QUERIES = {
     "enrich_segment_spend": q_enrich_segment_spend,
     "topk_orders": q_topk_orders,
     "window_hourly": q_window_hourly,
+    "late_event_counts": q_late_event_counts,
     "connected_components": q_connected_components,
     "pagerank_keys": q_pagerank_keys,
     "cdc_replay_full": q_cdc_replay_full,
@@ -867,6 +904,25 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c100
         FROM events GROUP BY user_id, hour_bucket
+    """,
+    "late_event_counts": """
+        WITH e AS (
+          SELECT event_id,
+                 CAST(epoch_us(ts) AS BIGINT)
+                   - CASE WHEN event_id % 37 = 0 THEN 7200000000 ELSE 0 END
+                   AS etime_us
+          FROM events
+        ), w AS (
+          SELECT etime_us,
+                 max(etime_us) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+          FROM e
+        )
+        SELECT CAST(etime_us // 3600000000 AS BIGINT) AS window_start,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM w WHERE etime_us >= hwm - 1800000000
+        GROUP BY 1
     """,
     "connected_components": """
         WITH RECURSIVE e AS (
