@@ -159,12 +159,11 @@ def run_once(include_queries: bool) -> dict:
     # BULK: insert-only unique-key log (bulk load) — zero merge reduction,
     # every event decoded, extracted, and written; the compute-heavy shape
     # used for the scaling measurement. Default: update-heavy CDC replay.
-    corpus = ensure_corpus(SF_DIR, events_per_doc=EVENTS_PER_DOC,
-                           unique_urls=BULK)
-    # cold first-touch probe BEFORE priming: during a host page-supply
-    # stall this reads single-digit MB/s while the post-prime probe can
-    # still look healthy (the stall hits FRESH pages, which is exactly
-    # what the object store and workers allocate inside the timed draws).
+    # cold first-touch probe FIRST — before corpus generation or priming
+    # can grow the guest page pool: during a host page-supply stall this
+    # reads single-digit MB/s while the post-prime probe can still look
+    # healthy (the stall hits FRESH pages, which is exactly what the
+    # object store and workers allocate inside the timed draws).
     # Recording both makes a slow headline self-adjudicating.
     import numpy as np
 
@@ -173,6 +172,8 @@ def run_once(include_queries: bool) -> dict:
     _probe[::4096] = 1
     fault_cold_mb_s = round(128.0 / (time.perf_counter() - _t0), 1)
     del _probe
+    corpus = ensure_corpus(SF_DIR, events_per_doc=EVENTS_PER_DOC,
+                           unique_urls=BULK)
     _prime_guest_memory()
     # flush generation writes, then warm the OS page cache so we measure
     # compute+shuffle, not first-run disk I/O contention

@@ -9,18 +9,11 @@ standardization and the binary-blob decode/frame stages.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
 
-from ethereum_etl_ray.stages.merge import lww_merge_dataset
-from ethereum_etl_ray.util import pool_size
-from ethereum_etl_ray.pipelines.queries_common import (  # noqa: F401
-    _cents,
-    _read,
-)
+from ethereum_etl_ray.pipelines.queries_common import _read
 
 
 _N_QUERIES = 8
@@ -58,7 +51,11 @@ def q_embedding_cosine_pairs(sf_dir: str):
     cosine ≥ 0.4 (the synthetic embeddings have no planted dups, so the
     threshold sits below the natural similarity ceiling). The stage
     self-gates: corpora above exact_threshold rows auto-route to the
-    IVF-bucketed multi-probe path instead of broadcasting the matrix."""
+    IVF-bucketed multi-probe path instead of broadcasting the matrix.
+    The DuckDB oracle describes the EXACT route only — every driver SF
+    sits far below the gate, and tests/test_ann.py asserts the route
+    choice; above the gate the operator is approximate by contract
+    (bucket-straddling pairs may be missed) and parity no longer holds."""
     from ethereum_etl_ray.stages.ann import embedding_cosine_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -73,7 +70,9 @@ def q_semantic_dedup(sf_dir: str):
     engine's cosine-pair miner and ``dedup_apply`` (union-find below the
     pair threshold, distributed min-label propagation above), so every leg
     scales; the oracle is the recursive-CTE closure over the same pair
-    predicate."""
+    predicate — exact-route parity only, like ``embedding_cosine_pairs``
+    (driver SFs sit far below the gate; above it the pair miner is
+    approximate by contract)."""
     from ethereum_etl_ray.stages.ann import embedding_cosine_pairs
     from ethereum_etl_ray.stages.components import dedup_apply
 

@@ -6,14 +6,7 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
-
-from ethereum_etl_ray.stages.merge import lww_merge_dataset
-from ethereum_etl_ray.util import pool_size
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:

@@ -16,7 +16,6 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ethereum_etl_ray.stages.merge import lww_merge_dataset
-from ethereum_etl_ray.util import pool_size
 from ethereum_etl_ray.pipelines.queries_common import (  # noqa: F401
     _cents,
     _read,

@@ -16,12 +16,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
-from ethereum_etl_ray.stages.merge import lww_merge_dataset
-from ethereum_etl_ray.util import pool_size
-from ethereum_etl_ray.pipelines.queries_common import (  # noqa: F401
-    _cents,
-    _read,
-)
+from ethereum_etl_ray.pipelines.queries_common import _read
 
 
 def q_exact_dedup_docs(sf_dir: str):

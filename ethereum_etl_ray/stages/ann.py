@@ -228,6 +228,9 @@ def embedding_cosine_pairs(ds: ray.data.Dataset, tau: float,
     Scores are 4-decimal floor(x+.5)-rounded BEFORE thresholding so the
     membership boundary is reproducible across engines (same rule as the
     top-k oracle parity)."""
+    # pin before counting: a derived (lazy) corpus would otherwise execute
+    # once for count() and again for the pairs pass (cf. dedup_apply's gate)
+    ds = ds.materialize()
     if ds.count() > exact_threshold:
         return embedding_bucketed_pairs(ds, tau, id_col=id_col,
                                         emb_col=emb_col, assign_probes=2)

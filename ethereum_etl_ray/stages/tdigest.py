@@ -58,10 +58,15 @@ class TDigest:
         return d
 
     def merge(self, other: "TDigest") -> "TDigest":
+        # always return a FRESH digest carrying self's delta — returning an
+        # aliased operand would share mutable arrays with the caller and
+        # silently adopt the other operand's compression parameter
         if other.weights.size == 0:
-            return self
+            return TDigest(self.delta, self.means.copy(), self.weights.copy(),
+                           self.vmin, self.vmax)
         if self.weights.size == 0:
-            return other
+            return TDigest(self.delta, other.means.copy(), other.weights.copy(),
+                           other.vmin, other.vmax)
         out = TDigest(self.delta,
                       np.concatenate([self.means, other.means]),
                       np.concatenate([self.weights, other.weights]),
@@ -186,8 +191,13 @@ def grouped_quantiles(ds: ray.data.Dataset, key: str, col: str,
     per-group associative merge."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key).type  # pin: pa.array([]) infers
+        # null and a zero-row batch would emit a schema-mismatched block
         keys = batch.column(key).to_numpy(zero_copy_only=False)
         vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if keys.size == 0:
+            return pa.table({key: pa.array([], key_type),
+                             "td": pa.array([], pa.binary())})
         ks, blobs = [], []
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
@@ -197,7 +207,8 @@ def grouped_quantiles(ds: ray.data.Dataset, key: str, col: str,
             if d.weights.size:
                 ks.append(keys[s])
                 blobs.append(d.serialize())
-        return pa.table({key: pa.array(ks), "td": pa.array(blobs, pa.binary())})
+        return pa.table({key: pa.array(ks, key_type),
+                         "td": pa.array(blobs, pa.binary())})
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         acc = TDigest.deserialize(bytes(g.td.iloc[0]))
