@@ -453,6 +453,41 @@ def q_window_hourly(sf_dir: str):
     )
 
 
+def q_field_lww(sf_dir: str):
+    """Field-level LWW merge (stages/fieldlww.py): partial-update events —
+    every 3rd event leaves ``value`` unset, every 4th leaves ``event_type``
+    unset (deterministic planted nulls) — fuse into one golden record per
+    user: each column from the latest event that actually set it, version
+    columns from the globally latest event. Generalizes the reference's
+    row upsert (src/repositories/sqlite/base.py:159-172) to column
+    survivorship; oracled against per-column SQL window argmaxes."""
+    from ethereum_etl_ray.stages.fieldlww import field_lww_merge
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = pa.array(np.where(eid % 3 == 0, np.nan, val), pa.float64(),
+                     from_pandas=True)
+        et = pc.if_else(pa.array(eid % 4 == 0),
+                        pa.nulls(t.num_rows, pa.string()),
+                        pc.cast(t.column("event_type").combine_chunks(),
+                                pa.string()))
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "event_id": t.column("event_id"),
+                         "value": v, "event_type": et})
+
+    out = field_lww_merge(
+        ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id", version=("ts", "event_id"),
+        fields=("value", "event_type"))
+    return out.select_columns(["user_id", "ts", "event_id",
+                               "value", "event_type"])
+
+
 def q_late_event_counts(sf_dir: str):
     """Watermark semantics over a bounded-disorder stream
     (stages/watermark.py): every 37th event's time is shifted 2 h back
@@ -514,6 +549,31 @@ def q_connected_components(sf_dir: str):
     pairs = docs.map_batches(mk_edges, batch_format="pyarrow",
                              zero_copy_batch=True)
     out = connected_components_ds(pairs).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_triangle_counts(sf_dir: str):
+    """Exact per-apex triangle counting (stages/graph.py:triangle_counts —
+    wedge generation co-grouped by lower endpoint, then one composite-key
+    join closes the wedges) over a deterministic sparse graph derived from
+    the documents table: chain edges (i-1, i) plus skip edges (i-2, i), so
+    DuckDB's three-way self-join computes the identical closure."""
+    from ethereum_etl_ray.stages.graph import triangle_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        chain = ids[ids % 8 != 0]
+        skip = ids[ids % 8 >= 2]
+        return pa.table({
+            "u": pa.array(np.concatenate([chain - 1, skip - 2]), pa.int64()),
+            "v": pa.array(np.concatenate([chain, skip]), pa.int64()),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = triangle_counts(edges).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 
@@ -738,6 +798,8 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "window_hourly": q_window_hourly,
     "late_event_counts": q_late_event_counts,
+    "field_lww": q_field_lww,
+    "triangle_counts": q_triangle_counts,
     "connected_components": q_connected_components,
     "pagerank_keys": q_pagerank_keys,
     "cdc_replay_full": q_cdc_replay_full,
@@ -904,6 +966,46 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c100
         FROM events GROUP BY user_id, hour_bucket
+    """,
+    "triangle_counts": """
+        WITH e AS (
+          SELECT doc_id - 1 AS u, doc_id AS v FROM documents WHERE doc_id % 8 <> 0
+          UNION
+          SELECT doc_id - 2, doc_id FROM documents WHERE doc_id % 8 >= 2
+        )
+        SELECT a.u AS node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e a JOIN e b ON b.u = a.u AND b.v > a.v
+                 JOIN e c ON c.u = a.v AND c.v = b.v
+        GROUP BY a.u
+    """,
+    "field_lww": """
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value,
+                 CASE WHEN event_id % 4 = 0 THEN NULL
+                      ELSE event_type END AS event_type
+          FROM events
+        ), latest AS (
+          SELECT user_id, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e
+        ), v AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e WHERE value IS NOT NULL
+        ), t AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e WHERE event_type IS NOT NULL
+        )
+        SELECT l.user_id, l.ts, l.event_id, v.value, t.event_type
+        FROM latest l
+        LEFT JOIN v ON v.user_id = l.user_id AND v.rn = 1
+        LEFT JOIN t ON t.user_id = l.user_id AND t.rn = 1
+        WHERE l.rn = 1
     """,
     "late_event_counts": """
         WITH e AS (

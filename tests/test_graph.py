@@ -203,3 +203,34 @@ def test_path_value_join_per_hop_route_matches_broadcast():
     ds = graph_reach_ds(e, starts, max_hops=4, weight_col="w").to_pandas()
     ds = ds.rename(columns={"val": "path_value"})
     assert key(broad) == key(ds)
+
+
+def test_triangle_counts_handcrafted():
+    """K4 on {0,1,2,3} (4 triangles: apexes 0x3, 1x1) plus an edge pair
+    with no closure and an isolated edge."""
+    import pandas as pd
+    import ray.data
+
+    from ethereum_etl_ray.stages.graph import triangle_counts
+
+    edges = pd.DataFrame({
+        "u": [0, 0, 0, 1, 1, 2, 5, 5, 8],
+        "v": [1, 2, 3, 2, 3, 3, 6, 7, 9],
+    })
+    out = (triangle_counts(ray.data.from_pandas(edges).repartition(3))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out.node.tolist() == [0, 1]
+    # apex 0: (1,2),(1,3),(2,3) all closed; apex 1: (2,3) closed;
+    # apex 5: (6,7) open
+    assert out.n_triangles.tolist() == [3, 1]
+
+
+def test_triangle_counts_no_triangles():
+    import pandas as pd
+    import ray.data
+
+    from ethereum_etl_ray.stages.graph import triangle_counts
+
+    edges = pd.DataFrame({"u": [0, 1, 2], "v": [1, 2, 3]})  # path graph
+    out = triangle_counts(ray.data.from_pandas(edges)).to_pandas()
+    assert len(out) == 0
