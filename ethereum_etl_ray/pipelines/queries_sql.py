@@ -221,6 +221,30 @@ def q_cms_heavy_hitters(sf_dir: str):
     return df.head(10)
 
 
+def q_zorder_box(sf_dir: str):
+    """Z-order clustered layout round trip (stages/zorder.py): events
+    written z-ordered on (value, user_id) — equi-depth rank buckets from
+    the t-digest, bit interleave, range-partitioned files — then a box
+    predicate answered via Parquet-footer pruning + exact residual filter.
+    The oracle is the plain SQL box select; the file-skipping claim
+    (minority of files touched) is pinned in tests/test_zorder.py."""
+    import shutil
+    import tempfile
+
+    from ethereum_etl_ray.stages.zorder import zorder_read, zorder_write
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out_dir = tempfile.mkdtemp(prefix="webcdc_zorder_")
+    try:
+        zorder_write(ds, out_dir, ["value", "user_id"], bits=8, num_files=32)
+        out, _kept, _total = zorder_read(
+            out_dir, {"value": (5.0, 15.0), "user_id": (10.0, 60.0)})
+        df = out.to_pandas()[["event_id", "user_id", "value"]]
+        return df.sort_values("event_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_tdigest_quantiles(sf_dir: str):
     """Per-type approximate quantiles via the mergeable t-digest sketch
     (stages/tdigest.py) — the rank-statistics member of the sketch family
@@ -1184,6 +1208,7 @@ QUERIES = {
     "window_sliding": q_window_sliding,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "tdigest_quantiles": q_tdigest_quantiles,
+    "zorder_box": q_zorder_box,
     "random_sample": q_random_sample,
     "deterministic_sample": q_deterministic_sample,
     "cap_per_key": q_cap_per_key,
@@ -1229,6 +1254,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "zorder_box": """
+        SELECT event_id, user_id, value FROM events
+        WHERE value BETWEEN 5.0 AND 15.0
+          AND user_id BETWEEN 10.0 AND 60.0
+    """,
     "budget_sample": """
         SELECT doc_id, n_tokens FROM (
           SELECT doc_id, n_tokens,

@@ -220,3 +220,35 @@ def grouped_quantiles(ds: ray.data.Dataset, key: str, col: str,
     sk = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = sk.groupby(key).map_groups(per_group, batch_format="pandas").to_pandas()
     return out.sort_values([key, "q"]).reset_index(drop=True)
+
+
+def approx_quantiles_multi(ds: ray.data.Dataset, cols: list[str],
+                           qs: list[float], *, delta: int = 200
+                           ) -> dict[str, np.ndarray]:
+    """Quantiles for SEVERAL columns in ONE streaming pass: each batch
+    emits one digest row per column, merged per column downstream
+    (used by the z-order writer, which needs boundaries for every
+    clustered column and should not scan the input once per column)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, blobs = [], []
+        for c in cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            d = TDigest.from_values(v, delta)
+            if d.weights.size:
+                names.append(c)
+                blobs.append(d.serialize())
+        return pa.table({"col": pa.array(names, pa.string()),
+                         "td": pa.array(blobs, pa.binary())})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = TDigest.deserialize(bytes(g.td.iloc[0]))
+        for b in g.td.iloc[1:]:
+            acc = acc.merge(TDigest.deserialize(bytes(b)))
+        return pd.DataFrame({"col": [g.col.iloc[0]] * len(qs), "q": qs,
+                             "value": [acc.quantile(q) for q in qs]})
+
+    sk = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = sk.groupby("col").map_groups(per_group, batch_format="pandas").to_pandas()
+    return {c: g.sort_values("q").value.to_numpy(dtype=np.float64)
+            for c, g in out.groupby("col")}
