@@ -127,7 +127,10 @@ def _bench_queries() -> dict[str, float]:
     out = {}
     for name in ["lww_latest_by_key", "groupby_agg_pushdown", "window_hourly",
                  "broadcast_join_brand_rev", "exact_dedup_docs", "minhash_lsh_pairs",
-                 "embedding_topk", "quality_docs", "decontaminate", "shuffle_rank"]:
+                 "embedding_topk", "quality_docs", "decontaminate", "shuffle_rank",
+                 # round-4 flagship additions: column-survivorship merge and
+                 # the z-order clustered layout round trip
+                 "field_lww", "zorder_box"]:
         best = None
         for _ in range(repeat):
             t0 = time.perf_counter()
