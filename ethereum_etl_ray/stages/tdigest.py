@@ -75,25 +75,25 @@ class TDigest:
         return out
 
     def _compress(self) -> None:
+        # fully vectorized merging pass (no Python loop over points, which
+        # would dominate the per-batch hot path): sort by mean, map each
+        # point's mid-rank q to the k1 scale k(q) = δ/2π·asin(2q−1), and
+        # fuse runs sharing floor(k) via add.reduceat — each cluster spans
+        # ≤1 k-unit, which IS the t-digest size bound (tail clusters get
+        # finer resolution, ≤ ~δ/2+1 centroids total)
         if self.means.size <= 1:
             return
         order = np.argsort(self.means, kind="stable")
         m, w = self.means[order], self.weights[order]
         total = w.sum()
-        om, ow = [m[0]], [w[0]]
-        cum = 0.0  # weight fully emitted before the open cluster
-        for i in range(1, m.size):
-            cand_w = ow[-1] + w[i]
-            q = (cum + cand_w / 2.0) / total
-            if cand_w <= 4.0 * total * q * (1.0 - q) / self.delta:
-                om[-1] = (om[-1] * ow[-1] + m[i] * w[i]) / cand_w
-                ow[-1] = cand_w
-            else:
-                cum += ow[-1]
-                om.append(m[i])
-                ow.append(w[i])
-        self.means = np.asarray(om, np.float64)
-        self.weights = np.asarray(ow, np.float64)
+        q = (np.cumsum(w) - w / 2.0) / total
+        k = self.delta / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+        bucket = np.floor(k).astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1])
+        wsum = np.add.reduceat(w, starts)
+        self.means = np.add.reduceat(m * w, starts) / wsum
+        self.weights = wsum
 
     # -- queries ----------------------------------------------------------
     def quantile(self, q: float) -> float:
