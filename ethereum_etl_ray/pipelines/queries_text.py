@@ -1109,9 +1109,10 @@ ORACLE = {
         ), cnt AS (
           SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
         )
-        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
-               (sum(c) - count(*)) * 1000000 // sum(c) AS dup_ppm,
-               max(c) * 1000000 // sum(c) AS top_tok_ppm
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT) AS dup_ppm,
+               CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_tok_ppm
         FROM cnt GROUP BY doc_id
     """,
     "pack_sequences": f"""
@@ -1166,10 +1167,10 @@ ORACLE = {
           JOIN c1 ON c1.w = b.w1
         )
         SELECT doc_id, count(*) AS n_bigrams,
-               sum(cond_ppm) // count(*) AS lm_score_ppm
+               CAST(sum(cond_ppm) // count(*) AS BIGINT) AS lm_score_ppm
         FROM scored GROUP BY doc_id
         UNION ALL
-        SELECT doc_id, 0 AS n_bigrams, 0 AS lm_score_ppm
+        SELECT doc_id, 0 AS n_bigrams, CAST(0 AS BIGINT) AS lm_score_ppm
         FROM d WHERE ntok < 2
     """,
     "bpe_pair_counts": """

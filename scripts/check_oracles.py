@@ -50,6 +50,14 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         return [f"columns: ray={sorted(got.columns)} sql={sorted(want.columns)}"]
     if len(got) != len(want):
         problems.append(f"rows: ray={len(got)} sql={len(want)}")
+    # Driver parity: its value hash is dtype-sensitive (int64 437500 vs
+    # float64 437500.0 hash differently), so flag kind mismatches BEFORE the
+    # int-coercing normalize below would mask them.
+    for c in sorted(got.columns):
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if {gk, wk} <= {"i", "u", "f"} and ((gk == "f") != (wk == "f")):
+            problems.append(f"dtype col {c}: ray={got[c].dtype} sql={want[c].dtype} "
+                            f"(driver hash is dtype-sensitive)")
     g, w = normalize(got), normalize(want)
     if len(g) == len(w):
         for c in g.columns:
