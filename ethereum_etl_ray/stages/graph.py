@@ -410,24 +410,26 @@ def pagerank(
     return ranks
 
 
-def triangle_counts(edges: ray.data.Dataset, *, u_col: str = "u",
-                    v_col: str = "v",
-                    num_partitions: int | None = None) -> ray.data.Dataset:
-    """Exact triangle counting per apex (the smallest vertex of each
-    triangle) over an oriented distinct edge set (``u < v`` rows).
+def oriented_edges(edges: ray.data.Dataset, *, u_col: str = "u",
+                   v_col: str = "v",
+                   num_partitions: int | None = None) -> ray.data.Dataset:
+    """Degree-orient a distinct undirected edge set: each edge points from
+    its lower-degree endpoint to its higher-degree endpoint (ties broken by
+    vertex id), the classic compact-forward / arboricity orientation.  The
+    out-degree of every vertex under this orientation is O(√E) amortized,
+    so per-apex wedge expansion is bounded by arboricity instead of raw
+    degree — a 10⁶-degree web hub no longer yields ~5·10¹¹ wedges.
 
-    Classic two-round shape: (1) wedge generation — edges co-grouped by
-    their lower endpoint; each apex of degree d yields d·(d-1)/2 candidate
-    (v, w) pairs (per-apex work is degree-bounded; orient edges by degree
-    upstream if the graph has super-hubs); (2) one composite-key co-group
-    join of the wedge set against the edge set closes the triangles. No
-    driver-side state at all — both rounds are engine shuffles.
-
-    Returns ``(node, n_triangles)`` for apexes with ≥1 triangle.
+    Three engine shuffles: one degree aggregate (both endpoints), two
+    co-group joins to attach deg(u) / deg(v).  Returns
+    ``(oa, ob, deg_b)`` rows — ``oa ≺ ob`` under the (deg, id) order, with
+    the destination's degree carried so wedge generation can sort
+    out-neighbourhoods by ≺ without another join.
     """
     import pyarrow.compute as _pc
 
-    from ethereum_etl_ray.functions.hashing import partition_ids
+    from ray.data.aggregate import Sum as _Sum
+
     from ethereum_etl_ray.stages.joins import cogroup_join
 
     if num_partitions is None:
@@ -435,60 +437,153 @@ def triangle_counts(edges: ray.data.Dataset, *, u_col: str = "u",
                 if ray.is_initialized() else 8)
         num_partitions = max(2, cpus)
 
-    def assign(t: pa.Table) -> pa.Table:
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"u": _pc.cast(t.column(u_col), pa.int64()),
+                         "v": _pc.cast(t.column(v_col), pa.int64())})
+
+    e = edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array([t.column("u"), t.column("v")])
+        vc = _pc.value_counts(both.combine_chunks())  # per-batch combiner
+        return pa.table({"dnode": vc.field("values"),
+                         "dcnt": _pc.cast(vc.field("counts"), pa.int64())})
+
+    deg = (e.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("dnode").aggregate(_Sum("dcnt", alias_name="deg")))
+
+    ju = cogroup_join(e, deg, left_on="u", right_on="dnode", how="inner",
+                      num_partitions=num_partitions,
+                      left_fields=[("u", pa.int64()), ("v", pa.int64())],
+                      right_fields=[("dnode", pa.int64()),
+                                    ("deg", pa.int64())])
+
+    def keep_du(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t.column("u"), "v": t.column("v"),
+                         "deg_u": _pc.cast(t.column("deg"), pa.int64())})
+
+    ju = ju.map_batches(keep_du, batch_format="pyarrow")
+    jv = cogroup_join(ju, deg, left_on="v", right_on="dnode", how="inner",
+                      num_partitions=num_partitions,
+                      left_fields=[("u", pa.int64()), ("v", pa.int64()),
+                                   ("deg_u", pa.int64())],
+                      right_fields=[("dnode", pa.int64()),
+                                    ("deg", pa.int64())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = t.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = t.column("deg").to_numpy(zero_copy_only=False)
+        # u ≺ v  iff  (deg_u, u) < (deg_v, v); ids are unique so ties resolve
+        fwd = (du < dv) | ((du == dv) & (u < v))
         return pa.table({
-            "u": _pc.cast(t.column(u_col), pa.int64()),
-            "v": _pc.cast(t.column(v_col), pa.int64()),
-            "__tp": pa.array(partition_ids(t.column(u_col), num_partitions),
-                             pa.int32())})
+            "oa": pa.array(np.where(fwd, u, v), pa.int64()),
+            "ob": pa.array(np.where(fwd, v, u), pa.int64()),
+            "deg_b": pa.array(np.where(fwd, dv, du), pa.int64())})
+
+    return jv.map_batches(orient, batch_format="pyarrow")
+
+
+def oriented_wedges(oriented: ray.data.Dataset,
+                    num_partitions: int) -> ray.data.Dataset:
+    """Wedge generation over a degree-oriented edge set (``oriented_edges``
+    output): co-group by source ``oa``; within each apex the out-neighbours
+    are sorted by the same (deg, id) ≺ order and every triu pair (b, c)
+    with b ≺ c becomes a candidate wedge ``(apex, wv, ww)``.  Total wedge
+    count is Σ outdeg(a)² ≤ O(E^1.5) regardless of hub skew (see the
+    star-graph pytest).  Exposed separately so tests can count wedges."""
+    from ethereum_etl_ray.functions.hashing import partition_ids
+
+    def assign(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__tp", pa.array(partition_ids(t.column("oa"), num_partitions),
+                             pa.int32()))
 
     def wedges(g: pa.Table) -> pa.Table:
-        # vectorized per-apex expansion: sort by (u, v), then per-u run
-        # of degree d emits its triu pair indices
-        s = g.sort_by([("u", "ascending"), ("v", "ascending")])
-        u = s.column("u").to_numpy(zero_copy_only=False)
-        v = s.column("v").to_numpy(zero_copy_only=False)
-        if len(u) == 0:
-            return pa.table({"apex": pa.array([], pa.int64()),
-                             "wv": pa.array([], pa.int64()),
-                             "ww": pa.array([], pa.int64())})
-        starts = np.concatenate([[0], np.flatnonzero(u[1:] != u[:-1]) + 1])
-        ends = np.concatenate([starts[1:], [len(u)]])
+        # sort by (apex, deg_b, b): per-apex runs come out in ≺ order so the
+        # triu expansion emits (wv, ww) already oriented for the closing join
+        s = g.sort_by([("oa", "ascending"), ("deg_b", "ascending"),
+                       ("ob", "ascending")])
+        a = s.column("oa").to_numpy(zero_copy_only=False)
+        b = s.column("ob").to_numpy(zero_copy_only=False)
+        empty = pa.table({"apex": pa.array([], pa.int64()),
+                          "wv": pa.array([], pa.int64()),
+                          "ww": pa.array([], pa.int64())})
+        if len(a) == 0:
+            return empty
+        starts = np.concatenate([[0], np.flatnonzero(a[1:] != a[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(a)]])
         out_a, out_v, out_w = [], [], []
-        for s0, e0 in zip(starts, ends):  # loop over APEXES, not rows
-            d = e0 - s0
+        for s0, e0 in zip(starts, ends):  # loop over APEXES, not rows;
+            d = e0 - s0                   # d = ORIENTED out-degree, O(√E)
             if d < 2:
                 continue
             i, j = np.triu_indices(d, k=1)
-            out_a.append(np.full(i.size, u[s0], np.int64))
-            out_v.append(v[s0:e0][i])
-            out_w.append(v[s0:e0][j])
+            out_a.append(np.full(i.size, a[s0], np.int64))
+            out_v.append(b[s0:e0][i])
+            out_w.append(b[s0:e0][j])
         if not out_a:
-            return pa.table({"apex": pa.array([], pa.int64()),
-                             "wv": pa.array([], pa.int64()),
-                             "ww": pa.array([], pa.int64())})
+            return empty
         return pa.table({"apex": pa.array(np.concatenate(out_a), pa.int64()),
                          "wv": pa.array(np.concatenate(out_v), pa.int64()),
                          "ww": pa.array(np.concatenate(out_w), pa.int64())})
 
-    w = (edges.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-         .groupby("__tp").map_groups(wedges, batch_format="pyarrow"))
+    return (oriented.map_batches(assign, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("__tp").map_groups(wedges, batch_format="pyarrow"))
 
-    def edge_side(t: pa.Table) -> pa.Table:
-        return pa.table({"eu": _pc.cast(t.column(u_col), pa.int64()),
-                         "ev": _pc.cast(t.column(v_col), pa.int64())})
 
-    e = edges.map_batches(edge_side, batch_format="pyarrow",
-                          zero_copy_batch=True)
+def triangle_counts(edges: ray.data.Dataset, *, u_col: str = "u",
+                    v_col: str = "v",
+                    num_partitions: int | None = None) -> ray.data.Dataset:
+    """Exact triangle counting per apex (the smallest-ID vertex of each
+    triangle) over a distinct undirected edge set (``u < v`` rows).
+
+    Degree-oriented two-round shape (compact-forward): (1) orient every
+    edge low-degree → high-degree endpoint (``oriented_edges``) and expand
+    wedges at each oriented source (``oriented_wedges``) — per-apex work is
+    bounded by arboricity, so web-graph super-hubs cannot blow up the wedge
+    set; (2) one composite-key co-group join of the wedge set against the
+    oriented edge set closes the triangles.  Each triangle is found exactly
+    once (at its ≺-minimum vertex); the reported ``node`` is recovered as
+    ``min(apex, wv, ww)`` by ID so the output contract (per smallest-ID
+    apex) is unchanged from the unoriented version.  No driver-side state —
+    degree aggregate, two joins, wedge shuffle, closing join.
+
+    Returns ``(node, n_triangles)`` for apexes with ≥1 triangle.
+    """
+    import pyarrow.compute as _pc
+
+    from ethereum_etl_ray.stages.joins import cogroup_join
+
+    if num_partitions is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        num_partitions = max(2, cpus)
+
+    # consumed twice (wedge generation + closing join); materializing the
+    # 3×int64 oriented edge table avoids recomputing its two joins — bounded
+    # at 24 B/edge, columnar, spills to the object store at scale
+    oe = oriented_edges(edges, u_col=u_col, v_col=v_col,
+                        num_partitions=num_partitions).materialize()
+    w = oriented_wedges(oe, num_partitions)
+
     closed = cogroup_join(
-        w, e, left_on=["wv", "ww"], right_on=["eu", "ev"], how="inner",
+        w, oe.drop_columns(["deg_b"]),
+        left_on=["wv", "ww"], right_on=["oa", "ob"], how="inner",
         num_partitions=num_partitions,
         left_fields=[("apex", pa.int64()), ("wv", pa.int64()),
                      ("ww", pa.int64())],
-        right_fields=[("eu", pa.int64()), ("ev", pa.int64())])
+        right_fields=[("oa", pa.int64()), ("ob", pa.int64())])
 
     def cnt(t: pa.Table) -> pa.Table:
-        vc = _pc.value_counts(t.column("apex").combine_chunks())
+        # output contract: attribute each triangle to its smallest-ID vertex
+        apex = t.column("apex").to_numpy(zero_copy_only=False)
+        wv = t.column("wv").to_numpy(zero_copy_only=False)
+        ww = t.column("ww").to_numpy(zero_copy_only=False)
+        node = np.minimum(np.minimum(apex, wv), ww)
+        vc = _pc.value_counts(pa.array(node, pa.int64()))
         return pa.table({"node": vc.field("values"),
                          "n_triangles": _pc.cast(vc.field("counts"), pa.int64())})
 

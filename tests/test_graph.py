@@ -1,6 +1,7 @@
 """Iterative broadcast graph-reach tests (stages.graph ↔ reference J5,
 src/tasks/extract/pool.py:183-290 BFS ≤5 hops)."""
 
+import numpy as np
 import ray.data
 
 from ethereum_etl_ray.stages.graph import graph_reach
@@ -234,3 +235,56 @@ def test_triangle_counts_no_triangles():
     edges = pd.DataFrame({"u": [0, 1, 2], "v": [1, 2, 3]})  # path graph
     out = triangle_counts(ray.data.from_pandas(edges)).to_pandas()
     assert len(out) == 0
+
+
+def test_triangle_wedges_bounded_on_star_hub():
+    """Degree orientation bounds wedge count by arboricity: a star with a
+    10^4-degree hub plus a small triangle must NOT expand the hub's d^2/2
+    (~5*10^7) pairs.  All star edges orient leaf->hub (leaf degree 1 < hub
+    degree), so each leaf contributes at most 1 out-edge and the hub apex
+    contributes none; total wedges stays O(E), far under the E*sqrt(E) bar."""
+    import pandas as pd
+    import ray.data
+
+    from ethereum_etl_ray.stages.graph import (oriented_edges,
+                                               oriented_wedges,
+                                               triangle_counts)
+
+    d = 10_000
+    # hub id 0 (the SMALLEST id, the worst case for id-orientation: the old
+    # u<v wedge expansion would emit d*(d-1)/2 ~ 5e7 wedge rows here) with
+    # leaves 1..d, plus one planted triangle (1, 2) closing hub-1-2
+    edges = pd.DataFrame({
+        "u": [0] * d + [1],
+        "v": list(range(1, d + 1)) + [2],
+    })
+    e_ds = ray.data.from_pandas(edges).repartition(4)
+
+    oe = oriented_edges(e_ds, num_partitions=4).materialize()
+    n_wedges = oriented_wedges(oe, 4).count()
+    n_edges = len(edges)
+    assert n_wedges <= int(n_edges * np.sqrt(n_edges)), n_wedges
+    assert n_wedges < 10_000  # actually O(E): leaves have out-degree <= 2
+
+    out = (triangle_counts(e_ds, num_partitions=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # exactly the planted triangle {0,1,2}, attributed to min-id apex 0
+    assert out.node.tolist() == [0]
+    assert out.n_triangles.tolist() == [1]
+
+
+def test_triangle_counts_degree_tie_orientation():
+    """All-equal degrees (a 4-cycle + chord yields deg ties) — tie-break by
+    id must still count every triangle exactly once with the same per-apex
+    attribution as the id-ordered oracle."""
+    import pandas as pd
+    import ray.data
+
+    from ethereum_etl_ray.stages.graph import triangle_counts
+
+    # 4-cycle 0-1-2-3 with chord 0-2: triangles {0,1,2} and {0,2,3}
+    edges = pd.DataFrame({"u": [0, 1, 2, 0, 0], "v": [1, 2, 3, 3, 2]})
+    out = (triangle_counts(ray.data.from_pandas(edges))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out.node.tolist() == [0]
+    assert out.n_triangles.tolist() == [2]
