@@ -308,6 +308,12 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "events": results[hi]["events"],
         "sf": SF_DIR,
+        # per-leg host-health evidence (VERDICT r4 #4): a stalled leg is
+        # visible in ITS OWN probe pair, so a bad ratio self-adjudicates
+        "probes": {str(n): {
+            "fault_probe_mb_s": results[n].get("fault_probe_mb_s"),
+            "fault_probe_cold_mb_s": results[n].get("fault_probe_cold_mb_s"),
+        } for n in (lo, hi)},
     }
 
 

@@ -55,25 +55,66 @@ def cmd_replay(args):
 
 def cmd_tail(args):
     """Bounded tailing: repeated replays advancing the watermark by --window
-    (the batch-engine analogue of the reference's WS newHeads loop)."""
+    (the batch-engine analogue of the reference's WS newHeads loop).
+
+    With ``--allowed-lateness-us`` the tailer enforces watermark semantics:
+    per window, events whose event time lags the running high-water mark
+    (carried across windows AND process restarts via ``_late/_state.json``)
+    by more than the allowance are written to the ``out/_late`` side output
+    and withheld from the merge — the lake then equals a sequential replay
+    of the KEPT stream (tests/test_resume.py)."""
+    import os
+
     _ray_up(args.num_cpus)
+    from dataclasses import replace as _dc_replace
+
     from ethereum_etl_ray.config import EngineConfig
-    from ethereum_etl_ray.pipelines.replay import replay
+    from ethereum_etl_ray.pipelines.replay import replay, route_late_events
     from ethereum_etl_ray.sources.synth import ensure_corpus
     from ethereum_etl_ray.state.manifest import load_manifest
 
     corpus = ensure_corpus(args.sf_dir, events_per_doc=args.events_per_doc)
     cfg = EngineConfig(num_partitions=args.partitions, merge_mode=args.mode)
+    lateness = getattr(args, "allowed_lateness_us", None)
+    state_path = os.path.join(args.out, "_late", "_state.json")
+    hwm_carry = None
+    if lateness is not None and os.path.exists(state_path):
+        with open(state_path) as f:
+            hwm_carry = json.load(f).get("hwm_us")
     prior = load_manifest(args.out)
     wm = prior.watermark if prior else -1
     rounds = 0
+    n_late_total = 0
     while wm < corpus.watermark:
+        prev_wm = wm
         wm = min(wm + args.window, corpus.watermark)
-        res = replay(corpus, args.out, cfg, watermark=wm)
+        cfg_round = cfg
+        new_carry = hwm_carry
+        if lateness is not None:
+            late_seqs, new_carry, n_late = route_late_events(
+                corpus, args.out, seq_gt=(prev_wm if prev_wm >= 0 else None),
+                seq_le=wm, allowed_lateness_us=lateness,
+                carry_in_us=hwm_carry)
+            n_late_total += n_late
+            if late_seqs.size:
+                cfg_round = _dc_replace(cfg, exclude_seqs=late_seqs)
+        res = replay(corpus, args.out, cfg_round, watermark=wm)
+        if lateness is not None:
+            # persist the carry only AFTER the round commits: a crash then
+            # replays the window against the same carry-in (idempotent)
+            os.makedirs(os.path.dirname(state_path), exist_ok=True)
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"hwm_us": new_carry, "watermark": wm}, f)
+            os.replace(tmp, state_path)
+            hwm_carry = new_carry
         rounds += 1
         print(json.dumps({"round": rounds, "watermark": wm,
                           "merged_partitions": res.merged_partitions}), file=sys.stderr)
-    print(json.dumps({"out": args.out, "rounds": rounds, "watermark": wm}))
+    out = {"out": args.out, "rounds": rounds, "watermark": wm}
+    if lateness is not None:
+        out["late_events"] = n_late_total
+    print(json.dumps(out))
 
 
 def cmd_inspect(args):
@@ -334,6 +375,10 @@ def main(argv=None):
             sp.add_argument("--watermark", type=int, default=None)
         else:
             sp.add_argument("--window", type=int, default=2000)
+            sp.add_argument("--allowed-lateness-us", type=int, default=None,
+                            help="watermark semantics: events whose warc_ts "
+                                 "lags the running max by more than this go "
+                                 "to out/_late instead of the merge")
         sp.set_defaults(fn=fn)
 
     for name, fn in [("inspect", cmd_inspect), ("compact", cmd_compact)]:

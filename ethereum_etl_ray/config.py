@@ -75,6 +75,13 @@ class EngineConfig:
     # LWW ("replace", reference INSERT OR REPLACE) vs first-writer-wins
     # ("ignore", reference INSERT OR IGNORE, src/repositories/sqlite/base.py:159-172)
     merge_mode: str = "replace"
+    # Event seqs to EXCLUDE from this replay (int array). Used by the
+    # allowed-lateness tailer: late events are routed to out_dir/_late and
+    # withheld from the merge, so the lake equals a sequential replay over
+    # the KEPT stream only. Broadcast once via ray.put and np.isin-filtered
+    # inside the fused read branch of both passes — bounded by design at
+    # O(late events in the current tail window), never corpus-sized.
+    exclude_seqs: object = None
     # skew handling: Misra-Gries heavy-hitter detection on a sample pass, then
     # pre-reduction of hot keys before the wide shuffle (SURVEY §7.4)
     skew_detect: bool = False

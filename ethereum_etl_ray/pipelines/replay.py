@@ -216,6 +216,14 @@ def _replay_locked(corpus, out_dir, cfg, prior, target_wm, metrics,
                     and os.path.isdir(corpus.snapshot_dir))
 
     validate = _make_validator(out_dir) if cfg.quarantine else None
+    # lateness exclusion runs FIRST (before quarantine): a late event is the
+    # tailer's side output, not a malformed row — it must appear in neither
+    # the dead-letter spill nor any winner election
+    exclude = (_make_seq_excluder(cfg.exclude_seqs)
+               if cfg.exclude_seqs is not None else None)
+    if exclude is not None:
+        validate = ((lambda b, _e=exclude, _v=validate: _v(_e(b)))
+                    if validate is not None else exclude)
 
     if cfg.late_materialization:
         est_events = _estimate_event_rows(corpus)
@@ -416,6 +424,22 @@ def _drop_invalid(batch: pa.Table) -> pa.Table:
     return batch.filter(_valid_mask(batch))
 
 
+def _make_seq_excluder(seqs):
+    """Batch fn dropping rows whose ``seq`` is in ``seqs`` (the tailer's
+    late-event side output — see ``EngineConfig.exclude_seqs``). The array is
+    ``ray.put`` ONCE and read per task, never re-shipped per batch."""
+    import ray as _ray
+
+    ref = _ray.put(np.unique(np.asarray(seqs, dtype=np.int64)))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        ex = _ray.get(ref)
+        s = batch.column("seq").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(s, ex)))
+
+    return drop
+
+
 def _make_validator(out_dir: str):
     """Dead-letter quarantine (fused into the read branch): rows with a null
     url/seq/warc_ts or an unknown op are spilled to ``out_dir/_deadletter``
@@ -435,6 +459,86 @@ def _make_validator(out_dir: str):
         return batch.filter(ok)
 
     return validate
+
+
+def route_late_events(corpus, out_dir: str, *, seq_gt: int | None,
+                      seq_le: int | None, allowed_lateness_us: int,
+                      carry_in_us: int | None = None,
+                      ) -> tuple[np.ndarray, int | None, int]:
+    """Allowed-lateness routing for one tail window (``cli tail
+    --allowed-lateness-us``): events whose ``warc_ts`` lags the running
+    high-water mark (max event time in ``seq`` arrival order, carried across
+    windows via ``carry_in_us``) by more than ``allowed_lateness_us`` are
+    written — full rows — to the ``out_dir/_late`` side output (the
+    dead-letter analogue, cf. ``_make_validator``), and their seqs are
+    returned for ``EngineConfig.exclude_seqs`` so the merge never sees them.
+
+    Lateness is decided on the SLIM (seq, warc_ts) columns only — one
+    column-pruned scan plus the two-phase distributed prefix max
+    (``stages.watermark``); the wide html payload is read a second time only
+    for the (bounded, typically tiny) late subset. Returns
+    ``(late_seqs, new_carry_us, n_late)``; the caller persists
+    ``new_carry_us`` AFTER the round's replay commits, so a crash replays
+    the window against the same carry-in."""
+    from ray.data.aggregate import Max as _Max
+
+    from ethereum_etl_ray.stages.watermark import watermark_filter
+
+    expr = None
+    if seq_gt is not None:
+        expr = pc.field("seq") > seq_gt
+    if seq_le is not None:
+        e2 = pc.field("seq") <= seq_le
+        expr = e2 if expr is None else expr & e2
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "seq": pc.cast(t.column("seq"), pa.int64()),
+            "__ts_us": pc.cast(t.column("warc_ts"), pa.int64())})
+
+    slim = (ray.data.read_parquet(_slim_event_files(corpus),
+                                  columns=["seq", "warc_ts"], filter=expr)
+            .map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize())  # slim 16-byte rows, consumed twice (max + filter)
+
+    row = slim.aggregate(_Max("__ts_us", alias_name="m"))
+    window_max = row.get("m") if row else None
+    new_carry = carry_in_us
+    if window_max is not None:
+        new_carry = (int(window_max) if carry_in_us is None
+                     else max(int(window_max), carry_in_us))
+
+    late = watermark_filter(slim, order_col="seq", time_us_col="__ts_us",
+                            allowed_lateness_us=allowed_lateness_us,
+                            keep=False, carry_in_us=carry_in_us)
+    chunks = [b["seq"] for b in late.iter_batches(batch_format="numpy")]
+    late_seqs = (np.sort(np.concatenate(chunks)) if chunks
+                 else np.array([], np.int64))
+    if late_seqs.size:
+        ref = ray.put(late_seqs)
+
+        def only_late(batch: pa.Table) -> pa.Table:
+            ex = ray.get(ref)
+            s = batch.column("seq").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(s, ex)))
+
+        side = os.path.join(out_dir, "_late",
+                            f"window-{(seq_gt or 0) + 1}-{seq_le}")
+        os.makedirs(side, exist_ok=True)
+        load_events(corpus.event_dirs, seq_gt=seq_gt, seq_le=seq_le,
+                    branch_fns=(only_late,)).write_parquet(side)
+    return late_seqs, new_carry, int(late_seqs.size)
+
+
+def read_late_events(out_dir: str) -> pa.Table | None:
+    """All rows routed to the allowed-lateness side output, or None."""
+    import glob as _glob
+
+    fs = sorted(_glob.glob(os.path.join(out_dir, "_late", "window-*",
+                                        "*.parquet")))
+    if not fs:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in fs], promote_options="default")
 
 
 def read_dead_letters(out_dir: str) -> pa.Table | None:
@@ -493,6 +597,10 @@ def _slim_winner_pipeline(corpus, cfg, seq_gt, seq_le, use_snapshot):
     if getattr(cfg, "quarantine", True):
         slim = slim.map_batches(_drop_invalid, batch_format="pyarrow",
                                 zero_copy_batch=True)
+    if getattr(cfg, "exclude_seqs", None) is not None:
+        # late events must not win elections either (see _replay_locked)
+        slim = slim.map_batches(_make_seq_excluder(cfg.exclude_seqs),
+                                batch_format="pyarrow", zero_copy_batch=True)
     slim = slim.map_batches(comb, batch_format="pyarrow",
                             batch_size=cfg.batch_size_rows, zero_copy_batch=True)
     # cascaded combine: re-batch 16× larger and reduce again. With Zipf keys a

@@ -94,7 +94,15 @@ def field_lww_pick(t: pa.Table, *, key: str, version: tuple[str, ...],
                                     pa.nulls(n_keys, t.schema.field(f).type))]
             fver_vals = []
             for v in fvers:
-                vv = np.asarray(v, np.int64)[np.where(mask, take, 0)]
+                # gather BEFORE casting: the combined form carries NaN at
+                # null per-field versions, and int-casting a NaN-bearing
+                # float array is an undefined cast (RuntimeWarning per
+                # batch — ADVICE r4). Gathered masked-out slots are dummy
+                # row 0 and get nulled by if_else below either way.
+                sel = np.asarray(v)[np.where(mask, take, 0)]
+                if sel.dtype.kind == "f":
+                    sel = np.nan_to_num(sel, nan=0.0)
+                vv = sel.astype(np.int64)
                 fver_vals.append([pc.if_else(pa.array(mask),
                                              pa.array(vv, pa.int64()),
                                              pa.nulls(n_keys, pa.int64()))])

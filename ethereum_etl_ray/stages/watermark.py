@@ -36,16 +36,28 @@ from ray.data.aggregate import Max
 
 def watermark_filter(ds: ray.data.Dataset, *, order_col: str,
                      time_us_col: str, allowed_lateness_us: int,
-                     bucket_width: int = 65_536) -> ray.data.Dataset:
+                     bucket_width: int = 65_536, keep: bool = True,
+                     carry_in_us: int | None = None) -> ray.data.Dataset:
     """Drop events later than ``allowed_lateness_us`` behind the high-water
     mark taken in ``order_col`` arrival order. Returns kept rows with their
     original columns. ``order_col`` must be unique, non-null integers
-    (arrival sequence); ``time_us_col`` int64 event time."""
+    (arrival sequence); ``time_us_col`` int64 event time.
+
+    ``keep=False`` returns the complement — the LATE rows — for side-output
+    routing (CDC tail dead-letter analogue). ``carry_in_us`` seeds the
+    running high-water mark so a tailer can continue the stream across
+    bounded windows: pass the max event time of all PRIOR windows (the hwm
+    advances on every arrival, late or not)."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.divide(pc.cast(t.column(order_col), pa.int64()),
-                      pa.scalar(bucket_width, pa.int64()))
-        return t.append_column("__wm_bucket", pc.cast(b, pa.int64()))
+        # numpy floor division, NOT Arrow divide: Arrow truncates toward
+        # zero, which would fold negative order values into bucket 0 with
+        # 0..width-1 and break the arrival-order prefix-max carry; floor
+        # division is monotone in the order value for any sign (ADVICE r4)
+        o = pc.cast(t.column(order_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = np.floor_divide(o, np.int64(bucket_width))
+        return t.append_column("__wm_bucket", pa.array(b, pa.int64()))
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
@@ -57,8 +69,11 @@ def watermark_filter(ds: ray.data.Dataset, *, order_col: str,
                  .aggregate(Max(time_us_col, alias_name="bmax"))
                  .to_pandas().sort_values("__wm_bucket"))
     bmax = summaries.bmax.to_numpy(dtype=np.int64)
+    carry0 = np.iinfo(np.int64).min if carry_in_us is None else int(carry_in_us)
     carry_vals = np.concatenate(
-        ([np.iinfo(np.int64).min], np.maximum.accumulate(bmax)[:-1]))
+        ([carry0], np.maximum.accumulate(bmax)[:-1]))
+    if carry_in_us is not None:
+        np.maximum(carry_vals, carry0, out=carry_vals)
     carry_ref = ray.put(dict(zip(
         summaries["__wm_bucket"].astype(np.int64), carry_vals)))
 
@@ -69,8 +84,8 @@ def watermark_filter(ds: ray.data.Dataset, *, order_col: str,
         hwm = np.maximum.accumulate(et)
         c = carry[int(g["__wm_bucket"].iat[0])]
         np.maximum(hwm, c, out=hwm)
-        keep = et >= hwm - allowed_lateness_us
-        return g.loc[keep].drop(columns="__wm_bucket")
+        mask = et >= hwm - allowed_lateness_us
+        return g.loc[mask if keep else ~mask].drop(columns="__wm_bucket")
 
     return bucketed.groupby("__wm_bucket").map_groups(
         per_bucket, batch_format="pandas")

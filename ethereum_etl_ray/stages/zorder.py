@@ -44,6 +44,19 @@ def zorder_write(ds: ray.data.Dataset, out_dir: str, cols: list[str], *,
     """Write ``ds`` z-ordered on ``cols``; returns the file count."""
     from ethereum_etl_ray.stages.tdigest import approx_quantiles_multi
 
+    # uint64 z key: shifting by >= 64 is undefined for numpy ints and would
+    # silently corrupt z values (pruning quality, not correctness — the
+    # residual filter is exact — but the clustering would degrade
+    # unpredictably). A non-power-of-two num_files under-uses file ids via
+    # the int(log2) floor. Both are caller bugs; fail loudly. (ADVICE r4)
+    if bits * len(cols) > 64:
+        raise ValueError(
+            f"zorder_write: bits*len(cols) = {bits}*{len(cols)} exceeds the "
+            f"64-bit z key; lower bits (e.g. bits={64 // len(cols)})")
+    if num_files < 1 or (num_files & (num_files - 1)) != 0:
+        raise ValueError(
+            f"zorder_write: num_files must be a power of two, got {num_files}")
+
     qs = [i / (1 << bits) for i in range(1, 1 << bits)]
     bounds = approx_quantiles_multi(ds, cols, qs)  # ONE pass for all cols
     bref = ray.put(bounds)

@@ -224,3 +224,64 @@ def test_restore_generation_matches_oracle_at_watermark(tiny_corpus,
     replay(tiny_corpus, out, cfg)
     assert load_manifest(out).watermark == wm
     assert _texts(out) == oracle_texts
+
+
+def test_tail_allowed_lateness_side_output(tiny_corpus, tmp_path_factory):
+    """`cli tail --allowed-lateness-us` must route watermark-late events to
+    the out/_late side output (full rows), withhold them from the merge, and
+    leave the lake equal to a sequential replay of the KEPT stream — with
+    the high-water mark carried correctly across tail windows."""
+    import json
+    from argparse import Namespace
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ethereum_etl_ray import cli as climod
+    from ethereum_etl_ray.pipelines.replay import read_late_events
+    from ethereum_etl_ray.state.oracle import sequential_replay
+
+    # sequential ground truth for the lateness decision: per-event lag
+    # against the running max warc_ts in seq (arrival) order
+    tabs = [pq.read_table(f)
+            for d in tiny_corpus.event_dirs
+            for f in sorted(glob.glob(d + "/*.parquet"))]
+    # slim columns only: the two event-schema generations differ on payload
+    # columns (schema evolution), but (seq, warc_ts) is generation-stable
+    slim = pa.concat_tables([t.select(["seq", "warc_ts"]) for t in tabs])
+    slim = slim.take(pc.sort_indices(slim.column("seq")))
+    seqs = slim.column("seq").to_numpy()
+    ts = pc.cast(slim.column("warc_ts"), pa.int64()).to_numpy()
+    lag = np.maximum.accumulate(ts) - ts
+    allowed = int(np.median(lag[lag > 0]))  # split the stream non-trivially
+    late_mask = lag > allowed
+    assert late_mask.any() and not late_mask.all()
+    want_late = set(seqs[late_mask].tolist())
+
+    out = str(tmp_path_factory.mktemp("tail_lateness"))
+    args = Namespace(sf_dir="/root/testdata/sf0.001", events_per_doc=6.0,
+                     out=out, partitions=8, mode="replace",
+                     window=700,  # several rounds -> cross-window hwm carry
+                     allowed_lateness_us=allowed, num_cpus=4)
+    climod.cmd_tail(args)
+
+    side = read_late_events(out)
+    assert side is not None
+    assert set(side.column("seq").to_numpy().tolist()) == want_late
+
+    # lake == sequential replay of the kept stream only (filter each
+    # generation's table separately; the oracle accepts a heterogeneous list)
+    kept = [t.filter(pa.array(
+                ~np.isin(t.column("seq").to_numpy(), list(want_late))))
+            for t in tabs]
+    snap = pq.read_table(glob.glob(tiny_corpus.snapshot_dir + "/*.parquet")[0])
+    want = sequential_replay(kept, snap)
+    got = _texts(out)
+    assert got == {u: o["text"] for u, o in want.items()}
+
+    # the carry state survives for the next process (crash resumability)
+    with open(os.path.join(out, "_late", "_state.json")) as f:
+        st = json.load(f)
+    assert st["watermark"] == tiny_corpus.watermark
+    assert st["hwm_us"] == int(ts.max())

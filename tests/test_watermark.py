@@ -77,3 +77,17 @@ def test_cross_bucket_carry():
                                        allowed_lateness_us=LATENESS)
     got = _run(df, bucket_width=2, parts=2)
     assert got.eid.tolist() == want.eid.tolist() == [0, 1, 4]
+
+
+def test_negative_order_values():
+    """Floor division (not truncation) must keep bucket order monotone in
+    the arrival order when order ids span negative values — truncation
+    folded -width..width-1 into bucket 0 and corrupted the prefix carry."""
+    df = _disordered(n=8_000)
+    df["eid"] = df["eid"] - 4_000  # arrival ids -4000..3999
+    got = _run(df, bucket_width=512)
+    want = sequential_watermark_oracle(
+        df, order_col="eid", time_us_col="etime_us",
+        allowed_lateness_us=LATENESS)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("eid").reset_index(drop=True))

@@ -58,3 +58,19 @@ def test_empty_box():
                  num_files=16)
     out, kept, total = zorder_read(OUT, {"x": (2000.0, 3000.0)})
     assert kept == 0 and out.count() == 0
+
+
+def test_zorder_write_guards():
+    """bits*cols > 64 and non-power-of-two num_files must fail loudly
+    instead of silently corrupting the z key / under-using file ids."""
+    import pytest
+    import ray.data
+
+    from ethereum_etl_ray.stages.zorder import zorder_write
+
+    ds = ray.data.range(10)
+    cols9 = [f"c{i}" for i in range(9)]
+    with pytest.raises(ValueError, match="64-bit z key"):
+        zorder_write(ds, "/tmp/zg1", cols9, bits=8)
+    with pytest.raises(ValueError, match="power of two"):
+        zorder_write(ds, "/tmp/zg2", ["id"], bits=8, num_files=48)
