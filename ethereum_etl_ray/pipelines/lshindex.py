@@ -1,0 +1,337 @@
+"""Persisted MinHash-LSH index for INCREMENTAL near-dedup (CDC × dedup).
+
+A 100 TB corpus cannot be re-shingled and re-shuffled every time a CDC
+increment arrives, yet every arriving document must be checked against
+everything already ingested.  This module persists the corpus side of the
+LSH computation once and lets each increment be verified against it while
+reading only the index partitions the increment actually touches:
+
+  build_lsh_index   one pass over the corpus text → per-doc MinHash
+                    signature (packed fixed-size binary) + per-band bucket
+                    keys; written as TWO hash-partitioned parquet tables
+                    under ``index_dir``:
+                      sigs/sig_shard=S/   (doc, sig, bk)   S = hash(doc) % shards
+                      bands/shard=S/      (bk, doc)        S = bk % shards
+  append_lsh_index  same pass over NEW docs, appended into the same shard
+                    layout (parquet file names are unique per write, so an
+                    append never rewrites existing data)
+  query_lsh_index   one pass over the increment → its own bands + sigs,
+                    then: read ONLY the band shards the increment's bucket
+                    keys land in → join on bucket key → candidate
+                    (increment, corpus) pairs → fetch the candidates'
+                    corpus signatures from their sig shards → estimated
+                    Jaccard from signature agreement (E[match fraction] = J
+                    for MinHash) → pairs ≥ threshold.
+
+Scale notes (the partitioning assumptions, per the engine's convention):
+  * nothing ever re-reads the corpus TEXT — the index stores only
+    ``num_perm × 8`` bytes of signature and ``bands × 8`` bytes of bucket
+    keys per document (~0.1% of a webtext corpus);
+  * an increment of m docs touches ≤ min(shards, m × bands) band shards and
+    ≤ min(shards, candidates) sig shards; small increments prune hard,
+    corpus-sized ones degrade to a full (still index-only) scan;
+  * the candidate fetch prunes the sig read by shard when the distinct
+    candidate-id count fits a broadcast (``candidate_broadcast_threshold``),
+    else it falls back to joining against all sig shards — index-sized, not
+    corpus-sized, so the fallback is safe;
+  * verification is signature-estimated Jaccard (no corpus text lookup).
+    For exact verification feed the output pairs to
+    ``dedup.verify_jaccard_pairs_ds`` with a corpus text dataset.
+
+The reference has no incremental anything — its dedup is ``list(set(...))``
+per response batch (src/tasks/extract/account.py:7-27); this is the
+CDC-tier generalization the north_rule's ingest loop needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ethereum_etl_ray.functions.dedup import (
+    lsh_band_hashes,
+    minhash_signatures,
+    tokenize_column,
+    word_ngram_hashes,
+)
+from ethereum_etl_ray.functions.hashing import hash64
+
+# bucket keys fold the band index into the band hash so identical signature
+# rows in DIFFERENT bands cannot cross-match at the join (the per-band
+# multiply is bijective mod 2^64; xor of band+1 separates bands)
+_BK_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pack_sigs(sigs: np.ndarray) -> pa.Array:
+    """(n, num_perm) uint64 → fixed_size_binary(num_perm*8), little-endian."""
+    n, num_perm = sigs.shape
+    buf = pa.py_buffer(np.ascontiguousarray(sigs.astype("<u8")).tobytes())
+    return pa.Array.from_buffers(pa.binary(num_perm * 8), n, [None, buf])
+
+
+def _unpack_sigs(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
+    """fixed_size_binary column → (n, num_perm) uint64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    row_bytes = num_perm * 8
+    if pa.types.is_fixed_size_binary(col.type):
+        buf = col.buffers()[-1]
+        flat = np.frombuffer(buf, dtype="<u8",
+                             count=len(col) * num_perm,
+                             offset=col.offset * row_bytes)
+        return flat.reshape(len(col), num_perm)
+    # a pandas-block hop (cogroup_join's per-group merge) degrades fixed to
+    # variable-width binary; every row is still row_bytes long, so the data
+    # buffer is one contiguous matrix — one frombuffer, no per-row loop
+    off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dt,
+                         count=len(col) + 1,
+                         offset=col.offset * np.dtype(off_dt).itemsize)
+    if len(col) and not (offs[-1] - offs[0] == len(col) * row_bytes):
+        raise ValueError("ragged signature column")  # corrupt input
+    flat = np.frombuffer(col.buffers()[2], dtype="<u8",
+                         count=len(col) * num_perm, offset=int(offs[0]))
+    return flat.reshape(len(col), num_perm)
+
+
+def _doc_stage(num_perm: int, bands: int, ngram: int, id_col: str,
+               text_col: str, shards: int):
+    """Batch fn: text → one compact row per doc
+    (doc, sig fixed_binary, bk fixed_size_list<int64>[bands], sig_shard)."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        tok_h, lens = tokenize_column(batch.column(text_col))
+        sh, counts = word_ngram_hashes(tok_h, lens, n=ngram)
+        sigs = minhash_signatures(sh, counts, num_perm=num_perm)
+        bh = lsh_band_hashes(sigs, bands=bands)  # (n, bands) uint64
+        bk = (bh * _BK_MULT) ^ (np.arange(1, bands + 1, dtype=np.uint64))
+        doc = pc.cast(batch.column(id_col), pa.int64())
+        sig_shard = (hash64(doc) % np.uint64(shards)).astype(np.int32)
+        return pa.table({
+            "doc": doc,
+            "sig": _pack_sigs(sigs),
+            "bk": pa.FixedSizeListArray.from_arrays(
+                pa.array(bk.ravel().view(np.int64), pa.int64()), bands),
+            "sig_shard": pa.array(sig_shard, pa.int32()),
+        })
+
+    return stage
+
+
+def _explode_bk(t: pa.Table, *, shards: int, doc_out: str = "doc") -> pa.Table:
+    """(doc, bk list) rows → flat (bk, doc, shard) band rows."""
+    bk_col = t.column("bk").combine_chunks()
+    flat = pc.list_flatten(bk_col).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(bk_col)
+    doc = t.column("doc").take(parents)
+    shard = (flat.view(np.uint64) % np.uint64(shards)).astype(np.int32)
+    return pa.table({
+        "bk": pa.array(flat, pa.int64()),
+        doc_out: doc,
+        "shard": pa.array(shard, pa.int32()),
+    })
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "lsh_meta.json")
+
+
+def _load_meta(index_dir: str) -> dict:
+    with open(_meta_path(index_dir)) as f:
+        return json.load(f)
+
+
+def _write_doc_tables(docs: ray.data.Dataset, index_dir: str, meta: dict,
+                      id_col: str, text_col: str) -> None:
+    """One text pass → sigs table on disk; band table derived by reading the
+    (column-pruned, text-free) sigs table back — no object-store
+    materialization of the corpus-sized intermediate."""
+    stage = _doc_stage(meta["num_perm"], meta["bands"], meta["ngram"],
+                       id_col, text_col, meta["shards"])
+    sig_dir = os.path.join(index_dir, "sigs")
+    os.makedirs(sig_dir, exist_ok=True)
+    (docs.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+         .write_parquet(sig_dir, partition_cols=["sig_shard"]))
+    band_dir = os.path.join(index_dir, "bands")
+    os.makedirs(band_dir, exist_ok=True)
+    (ray.data.read_parquet(sig_dir, columns=["doc", "bk"])
+        .map_batches(lambda t: _explode_bk(t, shards=meta["shards"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .write_parquet(band_dir, partition_cols=["shard"]))
+
+
+def build_lsh_index(docs: ray.data.Dataset, index_dir: str, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    num_perm: int = 64, bands: int = 16, ngram: int = 3,
+                    shards: int = 32) -> dict:
+    """Build + persist the corpus LSH index. ``id_col`` must be integer and
+    unique. Returns the meta dict (also persisted as ``lsh_meta.json``)."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    meta = {"num_perm": int(num_perm), "bands": int(bands),
+            "ngram": int(ngram), "shards": int(shards),
+            "id_col": id_col, "text_col": text_col}
+    os.makedirs(index_dir, exist_ok=True)
+    _write_doc_tables(docs, index_dir, meta, id_col, text_col)
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def append_lsh_index(index_dir: str, new_docs: ray.data.Dataset, *,
+                     id_col: str | None = None,
+                     text_col: str | None = None) -> dict:
+    """Append new docs into an existing index (same shard layout; parquet
+    file names are unique per write, so existing data is never rewritten).
+    The caller owns id uniqueness across build+appends — re-appending the
+    same doc id duplicates its index rows (harmless for candidate
+    generation, wasteful on disk)."""
+    meta = _load_meta(index_dir)
+    _write_doc_tables(new_docs, index_dir, meta,
+                      id_col or meta["id_col"], text_col or meta["text_col"])
+    return meta
+
+
+def _shard_dirs(base: str, col: str, touched) -> list[str]:
+    """Parquet FILE list for the touched shards (ray.data.read_parquet
+    accepts one directory or a list of files — not a list of directories)."""
+    import glob as _glob
+
+    dirs = [os.path.join(base, f"{col}={int(s)}") for s in touched]
+    return sorted(f for d in dirs if os.path.isdir(d)
+                  for f in _glob.glob(os.path.join(d, "*.parquet")))
+
+
+def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
+                    threshold: float = 0.7, id_col: str | None = None,
+                    text_col: str | None = None,
+                    candidate_broadcast_threshold: int = 2_000_000,
+                    ) -> ray.data.Dataset:
+    """Near-dup pairs (increment doc, corpus doc) with signature-estimated
+    Jaccard ≥ ``threshold``. Returns a Dataset with columns
+    ``(doc_id, dup_id, est_jaccard_ppm)`` — ``doc_id`` from the increment,
+    ``dup_id`` from the indexed corpus, one row per distinct pair.
+
+    Self-pairs (an increment doc already appended to the index under the
+    same id) are excluded."""
+    from ethereum_etl_ray.stages.joins import cogroup_join, semi_anti_filter
+
+    meta = _load_meta(index_dir)
+    num_perm, bands, shards = meta["num_perm"], meta["bands"], meta["shards"]
+    stage = _doc_stage(num_perm, bands, meta["ngram"],
+                       id_col or meta["id_col"], text_col or meta["text_col"],
+                       shards)
+    # the increment is the CDC batch — bounded by ingest cadence, not corpus
+    # size; materialized because it feeds two consumers (band join + sig join)
+    inc = increment.map_batches(stage, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
+    inc_bands = inc.map_batches(
+        lambda t: _explode_bk(t, shards=shards, doc_out="new_id"),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # O(shards) driver ints: which band shards does the increment touch?
+    touched = {int(r["shard"]) for r in
+               inc_bands.groupby("shard").count().take_all()}
+    band_dirs = _shard_dirs(os.path.join(index_dir, "bands"), "shard", touched)
+    empty_pairs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "dup_id": pa.array([], pa.int64()),
+        "est_jaccard_ppm": pa.array([], pa.int64())}))
+    if not band_dirs:
+        return empty_pairs
+    corpus_bands = ray.data.read_parquet(band_dirs, columns=["bk", "doc"])
+
+    # candidate pairs; a true near-dup collides in many bands, so dedupe the
+    # (new_id, dup_id) set BEFORE the signature joins — candidate-sized, and
+    # it cuts the sig-join input by the band multiplicity
+    cand = cogroup_join(
+        inc_bands.map_batches(lambda t: t.drop_columns(["shard"]),
+                              batch_format="pyarrow", zero_copy_batch=True),
+        corpus_bands.map_batches(
+            lambda t: t.rename_columns(["bk2", "dup_id"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        left_on="bk", right_on="bk2",
+        left_fields=[("bk", pa.int64()), ("new_id", pa.int64())],
+        right_fields=[("bk2", pa.int64()), ("dup_id", pa.int64())],
+    ).map_batches(
+        lambda t: t.select(["new_id", "dup_id"]).filter(
+            pc.not_equal(t.column("new_id"), t.column("dup_id"))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if cand.count() == 0:
+        return empty_pairs
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    cand = cand.groupby(["new_id", "dup_id"]).map_groups(
+        first, batch_format="pandas").materialize()
+
+    # fetch the candidates' corpus signatures, pruning the sig read by shard
+    # when the distinct candidate-id set fits a broadcast; the fallback joins
+    # against every sig shard — index-sized, never corpus-text-sized
+    sig_base = os.path.join(index_dir, "sigs")
+    if cand.count() <= candidate_broadcast_threshold:
+        chunks = [b["dup_id"] for b in
+                  cand.select_columns(["dup_id"])
+                      .iter_batches(batch_format="numpy")]
+        cids = np.unique(np.concatenate(chunks))
+        sig_touched = np.unique(hash64(cids) % np.uint64(shards)).tolist()
+        sig_dirs = _shard_dirs(sig_base, "sig_shard", sig_touched)
+        corpus_sigs = ray.data.read_parquet(sig_dirs, columns=["doc", "sig"])
+        corpus_sigs = semi_anti_filter(corpus_sigs, cids, on="doc")
+    else:
+        corpus_sigs = ray.data.read_parquet(
+            _shard_dirs(sig_base, "sig_shard", range(shards)),
+            columns=["doc", "sig"])
+
+    sig_t = pa.binary(num_perm * 8)
+    j1 = cogroup_join(
+        cand, corpus_sigs.map_batches(
+            lambda t: t.rename_columns(["__cdoc", "__csig"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        left_on="dup_id", right_on="__cdoc",
+        left_fields=[("new_id", pa.int64()), ("dup_id", pa.int64())],
+        right_fields=[("__cdoc", pa.int64()), ("__csig", sig_t)])
+    inc_sigs = inc.map_batches(
+        lambda t: pa.table({"__ndoc": t.column("doc"),
+                            "__nsig": t.column("sig")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j2 = cogroup_join(
+        j1.map_batches(lambda t: t.drop_columns(["__cdoc"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        inc_sigs,
+        left_on="new_id", right_on="__ndoc",
+        left_fields=[("new_id", pa.int64()), ("dup_id", pa.int64()),
+                     ("__csig", sig_t)],
+        right_fields=[("__ndoc", pa.int64()), ("__nsig", sig_t)])
+
+    thr_ppm = int(np.floor(threshold * 1_000_000 + 0.5))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dup_id": pa.array([], pa.int64()),
+                             "est_jaccard_ppm": pa.array([], pa.int64())})
+        a = _unpack_sigs(t.column("__nsig"), num_perm)
+        b = _unpack_sigs(t.column("__csig"), num_perm)
+        frac = (a == b).mean(axis=1)
+        ppm = np.floor(frac * 1_000_000 + 0.5).astype(np.int64)
+        keep = ppm >= thr_ppm
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({
+            "doc_id": t.column("new_id").take(idx),
+            "dup_id": t.column("dup_id").take(idx),
+            "est_jaccard_ppm": pa.array(ppm[keep], pa.int64()),
+        })
+
+    # candidates were already made distinct, so verify output needs no
+    # further dedup; its typed empty-table branch keeps the schema stable
+    # even when every candidate falls below the threshold
+    return j2.map_batches(verify, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -105,6 +105,48 @@ def q_near_dedup_keep(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lsh_index_query(sf_dir: str):
+    """Incremental near-dedup against a PERSISTED corpus LSH index
+    (pipelines.lshindex — the CDC-tier dedup: new docs checked against
+    everything already ingested without re-shingling the corpus; the query
+    reads only the band/sig shards the increment touches). Corpus =
+    doc_id % 10 != 0, increment = the % 10 == 0 docs. Rows-only at the
+    driver (MinHash is not SQL-expressible); tests/test_lshindex.py pins
+    the pair set and every ppm value against a same-kernel driver
+    recomputation plus planted exact/near copies."""
+    import shutil
+    import tempfile
+
+    from ethereum_etl_ray.pipelines.lshindex import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    def split(keep_corpus: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = (ids % 10 != 0) if keep_corpus else (ids % 10 == 0)
+            return t.filter(pa.array(m))
+        return f
+
+    idx = tempfile.mkdtemp(prefix="webcdc_lshidx_")
+    try:
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        corpus = docs.map_batches(split(True), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        increment = docs.map_batches(split(False), batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        build_lsh_index(corpus, idx, num_perm=64, bands=16, ngram=3,
+                        shards=16)
+        out = (query_lsh_index(idx, increment, threshold=0.5).to_pandas()
+               .reindex(columns=["doc_id", "dup_id", "est_jaccard_ppm"]))
+        return (out.sort_values(["doc_id", "dup_id"])
+                   .reset_index(drop=True))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q_corpus_curate(sf_dir: str):
     """Full training-corpus curation chain (pipelines.curate): language
     filter → quality filter → exact dedup → near-dedup keep-one. Rows-only
@@ -779,6 +821,7 @@ QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "bpe_token_count": q_bpe_token_count,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lsh_index_query": q_lsh_index_query,
     "near_dedup_keep": q_near_dedup_keep,
     "corpus_curate": q_corpus_curate,
     "corpus_filter_dedup": q_corpus_filter_dedup,

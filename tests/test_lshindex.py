@@ -1,0 +1,156 @@
+"""Incremental near-dedup against a persisted LSH index.
+
+Two oracles:
+  * planted duplicates — exact copies and near-copies of indexed corpus
+    docs must be flagged against the RIGHT corpus doc, fresh text must not;
+  * a driver-side numpy oracle built with the SAME signature kernels —
+    for every (increment, corpus) pair sharing ≥1 band bucket, the
+    signature-agreement estimate; the distributed pipeline must reproduce
+    that pair set and every ppm value exactly.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from ethereum_etl_ray.functions.dedup import (
+    lsh_band_hashes,
+    minhash_signatures,
+    tokenize_column,
+    word_ngram_hashes,
+)
+from ethereum_etl_ray.pipelines.lshindex import (
+    _BK_MULT,
+    append_lsh_index,
+    build_lsh_index,
+    query_lsh_index,
+)
+
+PARAMS = dict(num_perm=64, bands=16, ngram=3, shards=8)
+
+
+def _docs_table(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+
+def _sigs_and_bks(texts):
+    th, lens = tokenize_column(pa.array(texts, pa.string()))
+    sh, cnt = word_ngram_hashes(th, lens, n=PARAMS["ngram"])
+    sigs = minhash_signatures(sh, cnt, num_perm=PARAMS["num_perm"])
+    bh = lsh_band_hashes(sigs, bands=PARAMS["bands"])
+    bk = (bh * _BK_MULT) ^ np.arange(1, PARAMS["bands"] + 1, dtype=np.uint64)
+    return sigs, bk
+
+
+def _oracle_pairs(inc_ids, inc_texts, corp_ids, corp_texts, threshold):
+    """All (inc, corp) pairs sharing ≥1 band bucket, sig-estimated ppm."""
+    isig, ibk = _sigs_and_bks(inc_texts)
+    csig, cbk = _sigs_and_bks(corp_texts)
+    want = {}
+    for i, iid in enumerate(inc_ids):
+        hits = np.nonzero((cbk[:, None, :] == ibk[i][None, None, :]).any(
+            axis=(1, 2)))[0]
+        for j in hits:
+            if corp_ids[j] == iid:
+                continue
+            frac = (isig[i] == csig[j]).mean()
+            ppm = int(np.floor(frac * 1_000_000 + 0.5))
+            if ppm >= int(np.floor(threshold * 1_000_000 + 0.5)):
+                want[(iid, corp_ids[j])] = ppm
+    return want
+
+
+@pytest.fixture(scope="module")
+def built(sf_dir, tmp_path_factory):
+    docs = _docs_table(sf_dir)
+    ids = docs.column("doc_id").to_numpy()
+    corpus = docs.filter(pa.array(ids % 10 != 0))
+    index_dir = str(tmp_path_factory.mktemp("lshidx"))
+    build_lsh_index(ray.data.from_arrow(corpus), index_dir, **PARAMS)
+    return index_dir, corpus
+
+
+def test_planted_copies_flagged(built):
+    index_dir, corpus = built
+    ctexts = corpus.column("text").to_pylist()
+    cids = corpus.column("doc_id").to_numpy()
+    base = max(cids) + 1_000
+    near = ctexts[3].split()
+    near[len(near) // 2] = "substituted"
+    inc_rows = [
+        {"doc_id": base + 1, "text": ctexts[0]},            # exact copy
+        {"doc_id": base + 2, "text": ctexts[7]},            # exact copy
+        {"doc_id": base + 3, "text": " ".join(near)},       # near copy
+        {"doc_id": base + 4, "text": "entirely fresh words about nothing "
+                                     "previously ingested by any pipeline"},
+    ]
+    out = query_lsh_index(index_dir, ray.data.from_items(inc_rows),
+                          threshold=0.5).to_pandas()
+    got = dict(zip(zip(out.doc_id, out.dup_id), out.est_jaccard_ppm))
+    assert got[(base + 1, cids[0])] == 1_000_000
+    assert got[(base + 2, cids[7])] == 1_000_000
+    assert any(d == base + 3 and c == cids[3] and p >= 500_000
+               for (d, c), p in got.items())
+    assert not any(d == base + 4 for d, _ in got)
+
+
+def test_matches_driver_oracle(built):
+    index_dir, corpus = built
+    # query with near-copies AND verbatim corpus docs under new ids so the
+    # oracle exercises both the prune path and multi-band collisions
+    cids = corpus.column("doc_id").to_numpy()
+    ctexts = corpus.column("text").to_pylist()
+    rng = np.random.RandomState(5)
+    pick = rng.choice(len(cids), size=12, replace=False)
+    base = int(max(cids)) + 5_000
+    inc_ids, inc_texts = [], []
+    for k, j in enumerate(pick):
+        words = ctexts[j].split()
+        if k % 3 == 1 and len(words) > 4:   # light perturbation
+            words[k % len(words)] = "edited"
+        inc_ids.append(base + k)
+        inc_texts.append(" ".join(words))
+    want = _oracle_pairs(inc_ids, inc_texts, cids.tolist(), ctexts,
+                         threshold=0.5)
+    inc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(inc_ids, pa.int64()),
+        "text": pa.array(inc_texts, pa.string())}))
+    out = query_lsh_index(index_dir, inc, threshold=0.5).to_pandas()
+    got = dict(zip(zip(out.doc_id.astype(int), out.dup_id.astype(int)),
+                   out.est_jaccard_ppm.astype(int)))
+    assert got == want
+
+
+def test_append_then_query_and_self_exclusion(built, tmp_path_factory):
+    index_dir, corpus = built
+    cids = corpus.column("doc_id").to_numpy()
+    base = int(max(cids)) + 9_000
+    novel = ("a brand new document that exists nowhere in the corpus and "
+             "talks at length about incremental ingestion semantics")
+    appended = [{"doc_id": base + 1, "text": novel}]
+    append_lsh_index(index_dir, ray.data.from_items(appended))
+    # querying the appended doc under ITS OWN id → self-pair excluded
+    # (ray to_pandas drops columns on an all-empty result; reindex for that)
+    out_self = (query_lsh_index(index_dir, ray.data.from_items(appended),
+                                threshold=0.5).to_pandas()
+                .reindex(columns=["doc_id", "dup_id", "est_jaccard_ppm"]))
+    assert not ((out_self.doc_id == base + 1)
+                & (out_self.dup_id == base + 1)).any()
+    # a later exact copy under a NEW id must hit the appended doc
+    copy = [{"doc_id": base + 2, "text": novel}]
+    out = query_lsh_index(index_dir, ray.data.from_items(copy),
+                          threshold=0.5).to_pandas()
+    got = dict(zip(zip(out.doc_id, out.dup_id), out.est_jaccard_ppm))
+    assert got[(base + 2, base + 1)] == 1_000_000
+
+
+def test_no_candidates_returns_empty(built):
+    index_dir, _ = built
+    inc = ray.data.from_items(
+        [{"doc_id": 10**9, "text": "zxqv wvut unseen glyph salad "
+                                   "jabberwock vorpal snicker snack"}])
+    out = query_lsh_index(index_dir, inc, threshold=0.5).to_pandas()
+    assert len(out) == 0
