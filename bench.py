@@ -243,6 +243,17 @@ def run_once(include_queries: bool) -> dict:
     if include_queries:
         os.sync()  # fence headline lake writeback out of the query windows
         result["queries"] = _bench_queries()
+    # surface the most recent recorded --scaling draw (committed as
+    # scaling_latest.json when captured) so the per-round bench artifact
+    # carries the north_rule evidence with its own per-leg health probes
+    _scal = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scaling_latest.json")
+    if include_queries and os.path.isfile(_scal):
+        try:
+            with open(_scal) as f:
+                result["scaling_recorded"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     # large-corpus soak (VERDICT r3 #8): 5× the default event count so a
     # scale regression can't hide behind the small corpus. Cached corpus,
     # min-of-2, same workload shape as the headline. BENCH_SOAK=0 skips.

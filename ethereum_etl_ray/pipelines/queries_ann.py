@@ -106,6 +106,47 @@ def q_ann_ivf_persisted(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_ann_ivf_append(sf_dir: str):
+    """Incremental IVF (stages.ann.append_ivf_index — the CDC path): index
+    built on vec_id % 10 != 0, the % 10 == 0 increment APPENDED into the
+    same bucket layout without a rebuild, then a full-probe search — exact
+    over the union, so it shares the brute-force DuckDB oracle, proving the
+    append lost nothing and duplicated nothing."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ethereum_etl_ray.stages.ann import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    def part(keep_base: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("vec_id"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = (ids % 10 != 0) if keep_base else (ids % 10 == 0)
+            return t.filter(pa.array(m))
+        return f
+
+    idx = tempfile.mkdtemp(prefix="webcdc_ivfapp_")
+    try:
+        ids, mat = _query_vectors(sf_dir)
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        base = ds.map_batches(part(True), batch_format="pyarrow",
+                              zero_copy_batch=True)
+        inc = ds.map_batches(part(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+        build_ivf_index(base, idx, n_centroids=8, kmeans_iters=2)
+        append_ivf_index(idx, inc)
+        return ivf_search(idx, ids, mat, k=_TOPK, nprobe=None)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q_ann_quantized_topk(sf_dir: str):
     """Approximate top-k over the int8-quantized corpus (4× smaller index;
     int32-accumulated integer dot products). Rows-only at the driver:
@@ -186,6 +227,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_persisted": q_ann_ivf_persisted,
+    "ann_ivf_append": q_ann_ivf_append,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "semantic_dedup": q_semantic_dedup,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -294,3 +336,5 @@ ORACLE = {
 # IVF with full probe is exact, so both share the brute-force oracle
 ORACLE["ann_ivf_topk"] = ORACLE["embedding_topk"]
 ORACLE["ann_ivf_persisted"] = ORACLE["embedding_topk"]
+# build-on-90% + append-10% + full probe is still exact over the union
+ORACLE["ann_ivf_append"] = ORACLE["embedding_topk"]

@@ -207,6 +207,29 @@ def build_ivf_index(ds: ray.data.Dataset, index_dir: str, n_centroids: int = 8,
     return cents
 
 
+def append_ivf_index(index_dir: str, new_ds: ray.data.Dataset) -> int:
+    """Append new vectors into a persisted IVF index WITHOUT rebuilding:
+    assign each new vector to the existing centroids and write into the same
+    hive-partitioned bucket layout (parquet file names are unique per write,
+    so existing data is never rewritten). The CDC analogue of
+    ``build_ivf_index`` — an ingest increment becomes searchable by
+    ``ivf_search`` immediately, and only its own buckets gain files.
+
+    Centroids are NOT updated (standard IVF practice: re-train k-means
+    offline when drift accumulates, then rebuild). Returns the number of
+    vectors appended."""
+    import json
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    meta = json.load(open(os.path.join(index_dir, "ivf_meta.json")))
+    bucketed = assign_ivf_buckets(new_ds, cents, meta["emb_col"]).materialize()
+    n = bucketed.count()
+    if n:
+        bucketed.write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    return int(n)
+
+
 def embedding_cosine_pairs(ds: ray.data.Dataset, tau: float,
                            id_col: str = "vec_id", emb_col: str = "embedding",
                            exact_threshold: int = 200_000) -> pd.DataFrame:

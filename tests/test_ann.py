@@ -197,3 +197,51 @@ def test_cosine_pairs_auto_gate_routes_large_corpora(clustered, monkeypatch):
     out = ann.embedding_cosine_pairs(ds, tau=0.9, exact_threshold=0)
     assert calls["kw"].get("assign_probes") == 2
     assert {"vec_a", "vec_b", "cos_4"} <= set(out.columns)
+
+
+def test_append_ivf_index_searchable_and_pruned(clustered, tmp_path):
+    """Appended vectors join the existing bucket layout (no rebuild): a
+    full-probe search equals brute force over corpus+increment, the
+    increment's nearest neighbor is itself, and a 1-probe search of a
+    well-clustered query still finds appended points — while the original
+    files are untouched."""
+    import glob
+    import os
+
+    from ethereum_etl_ray.stages.ann import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    ds, mat = clustered
+    idx = str(tmp_path / "ivf_app")
+    build_ivf_index(ds, idx, n_centroids=4, kmeans_iters=5)
+    before = sorted(glob.glob(os.path.join(idx, "ivf_bucket=*", "*.parquet")))
+
+    # increment: 5 new points in a TIGHT sub-cluster at cluster 2's center
+    # (tighter than the 0.3-noise originals, so appended points are each
+    # other's nearest neighbors — proves they're searchable post-append)
+    rng = np.random.default_rng(23)
+    inc_mat = (np.eye(4, 12)[2] * 10.0
+               + rng.normal(scale=0.02, size=(5, 12))).astype(np.float32)
+    inc = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(1000, 1005, dtype=np.int64),
+        "embedding": list(inc_mat)}))
+    assert append_ivf_index(idx, inc) == 5
+
+    after = sorted(glob.glob(os.path.join(idx, "ivf_bucket=*", "*.parquet")))
+    assert set(before) <= set(after) and len(after) > len(before)
+
+    full = np.concatenate([mat, inc_mat])
+    ids = np.concatenate([np.arange(200), np.arange(1000, 1005)]).astype(np.int64)
+    union = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": list(full)}))
+    qids = np.array([1001], dtype=np.int64)
+    bf = brute_force_topk(union, qids, inc_mat[1:2], k=5)
+    exact = ivf_search(idx, qids, inc_mat[1:2], k=5, nprobe=None)
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  bf.reset_index(drop=True))
+    pruned = ivf_search(idx, qids, inc_mat[1:2], k=5, nprobe=1)
+    assert set(pruned.vec_id) == set(bf.vec_id)
+    assert (pruned.vec_id >= 1000).any()  # appended points are searchable
