@@ -5,6 +5,7 @@
     python -m ethereum_etl_ray.cli tail     --sf-dir ... --out DIR --window N
     python -m ethereum_etl_ray.cli inspect  --out DIR
     python -m ethereum_etl_ray.cli compact  --out DIR
+    python -m ethereum_etl_ray.cli dedup-index build|append|query|compact --index DIR [--docs P]
 
 Reference analogues: historical backfill (``src/clis/historical.py``),
 realtime tailer (``src/clis/realtime_ws.py``), table admin
@@ -306,6 +307,51 @@ def cmd_get(args):
     print(json.dumps({"found": len(rows), "rows": rows}, default=str))
 
 
+def cmd_dedup_index(args):
+    """Persisted-LSH-index admin (pipelines/lshindex.py): ``build`` an index
+    from a documents parquet, ``append`` new docs without a rebuild,
+    ``query`` an increment for near-dup pairs against everything indexed
+    (prints pair count; ``--dest`` writes the pairs parquet), ``compact``
+    multi-file shard dirs after appends (crash-safe, see compact_lsh_index).
+    The incremental-ingest analogue of the reference's dedupe-on-insert
+    (src/repositories/sqlite/base.py:159-172), operating corpus-scale."""
+    if args.action != "compact" and not args.docs:
+        raise SystemExit("dedup-index: --docs is required for "
+                         "build/append/query")
+    _ray_up(args.num_cpus)
+    import ray.data
+
+    from ethereum_etl_ray.pipelines.lshindex import (
+        append_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        query_lsh_index,
+    )
+
+    if args.action == "build":
+        meta = build_lsh_index(
+            ray.data.read_parquet(args.docs), args.index,
+            num_perm=args.num_perm, bands=args.bands,
+            ngram=args.ngram, shards=args.index_shards)
+        print(json.dumps({"action": "build", "index": args.index, **meta}))
+    elif args.action == "append":
+        meta = append_lsh_index(args.index, ray.data.read_parquet(args.docs))
+        print(json.dumps({"action": "append", "index": args.index, **meta}))
+    elif args.action == "compact":
+        stats = compact_lsh_index(args.index)
+        print(json.dumps({"action": "compact", "index": args.index, **stats}))
+    else:  # query
+        pairs = query_lsh_index(args.index,
+                                ray.data.read_parquet(args.docs),
+                                threshold=args.threshold)
+        if args.dest:
+            pairs = pairs.materialize()
+            pairs.write_parquet(args.dest)
+        n = pairs.count()
+        print(json.dumps({"action": "query", "index": args.index,
+                          "pairs": int(n), "dest": args.dest}))
+
+
 def cmd_export(args):
     """Lake → CSV or JSONL export (reference X6: `COPY table TO file`,
     src/repositories/sqlite/base.py:177-185; X3's orjson row serialization,
@@ -457,6 +503,21 @@ def main(argv=None):
     sp.add_argument("--include-html", action="store_true")
     sp.add_argument("--format", choices=["csv", "jsonl"], default="csv")
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("dedup-index",
+                        help="persisted LSH near-dup index: build/append/"
+                             "query/compact")
+    sp.add_argument("action",
+                    choices=["build", "append", "query", "compact"])
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--docs", help="documents parquet (build/append/query)")
+    sp.add_argument("--dest", help="write query pairs parquet here")
+    sp.add_argument("--threshold", type=float, default=0.7)
+    sp.add_argument("--num-perm", type=int, default=64)
+    sp.add_argument("--bands", type=int, default=16)
+    sp.add_argument("--ngram", type=int, default=3)
+    sp.add_argument("--index-shards", type=int, default=32)
+    sp.set_defaults(fn=cmd_dedup_index)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -192,9 +192,111 @@ def append_lsh_index(index_dir: str, new_docs: ray.data.Dataset, *,
     same doc id duplicates its index rows (harmless for candidate
     generation, wasteful on disk)."""
     meta = _load_meta(index_dir)
+    _recover_index(index_dir)
     _write_doc_tables(new_docs, index_dir, meta,
                       id_col or meta["id_col"], text_col or meta["text_col"])
     return meta
+
+
+_MARKER = "_compact_marker.json"
+
+
+def _recover_shard(shard_dir: str) -> bool:
+    """Roll forward an interrupted compaction (see ``compact_lsh_index``):
+    once the marker is durably on disk the merged data is durable too, so
+    recovery always completes the rename + old-file deletion. Stray ``.tmp``
+    files WITHOUT a marker are pre-marker debris — deleted. Returns True if
+    anything was repaired."""
+    import glob as _glob
+
+    marker = os.path.join(shard_dir, _MARKER)
+    acted = False
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        tmp = os.path.join(shard_dir, m["tmp"])
+        final = os.path.join(shard_dir, m["final"])
+        if os.path.isfile(tmp) and not os.path.isfile(final):
+            os.rename(tmp, final)
+        for name in m["olds"]:
+            p = os.path.join(shard_dir, name)
+            if os.path.isfile(p):
+                os.remove(p)
+        os.remove(marker)
+        acted = True
+    for stray in _glob.glob(os.path.join(shard_dir, "*.tmp")):
+        os.remove(stray)
+        acted = True
+    return acted
+
+
+def _recover_index(index_dir: str) -> int:
+    """Run shard recovery across the whole index (O(shards) stat calls);
+    called on every query/append entry so readers never see a partially
+    compacted shard. Returns the number of repaired shards."""
+    import glob as _glob
+
+    n = 0
+    for base in ("sigs", "bands"):
+        for d in _glob.glob(os.path.join(index_dir, base, "*=*")):
+            if os.path.isdir(d) and _recover_shard(d):
+                n += 1
+    return n
+
+
+def compact_lsh_index(index_dir: str, *, concurrency: int = 8) -> dict:
+    """Rewrite each multi-file shard directory (the product of appends) as
+    one parquet file. Crash-safe per shard: merged data is written to a
+    ``.tmp`` file and fsynced, a marker records (tmp, final, olds) and is
+    fsynced, THEN tmp is renamed and the old files deleted — a crash at any
+    point either leaves the olds intact (pre-marker) or is rolled forward by
+    ``_recover_shard`` on the next entry. Single-writer maintenance op (like
+    lake ``compact``): don't run it concurrently with queries/appends.
+
+    One Ray task per shard directory (raw tasks, not Dataset: this is file
+    management, each task bounded by corpus/shards index rows)."""
+    import glob as _glob
+    import uuid
+
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def one(shard_dir: str) -> tuple[int, int]:
+        import pyarrow.parquet as _pq
+
+        _recover_shard(shard_dir)
+        files = sorted(_glob.glob(os.path.join(shard_dir, "*.parquet")))
+        if len(files) <= 1:
+            return (len(files), 0)
+        merged = pa.concat_tables([_pq.read_table(f) for f in files])
+        tag = uuid.uuid4().hex[:12]
+        tmp_name, final_name = f"compact-{tag}.tmp", f"compact-{tag}.parquet"
+        tmp = os.path.join(shard_dir, tmp_name)
+        _pq.write_table(merged, tmp)
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        marker_tmp = os.path.join(shard_dir, _MARKER + ".tmp")
+        with open(marker_tmp, "w") as f:
+            json.dump({"tmp": tmp_name, "final": final_name,
+                       "olds": [os.path.basename(p) for p in files]}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(marker_tmp, os.path.join(shard_dir, _MARKER))
+        os.rename(tmp, os.path.join(shard_dir, final_name))
+        for p in files:
+            os.remove(p)
+        os.remove(os.path.join(shard_dir, _MARKER))
+        return (len(files), 1)
+
+    dirs = []
+    for base in ("sigs", "bands"):
+        dirs.extend(d for d in sorted(
+            _glob.glob(os.path.join(index_dir, base, "*=*")))
+            if os.path.isdir(d))
+    stats = ray.get([one.remote(d) for d in dirs])
+    return {"shards": len(dirs),
+            "compacted": sum(c for _, c in stats),
+            "files_before": sum(n for n, _ in stats)}
 
 
 def _shard_dirs(base: str, col: str, touched) -> list[str]:
@@ -222,6 +324,7 @@ def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
     from ethereum_etl_ray.stages.joins import cogroup_join, semi_anti_filter
 
     meta = _load_meta(index_dir)
+    _recover_index(index_dir)
     num_perm, bands, shards = meta["num_perm"], meta["bands"], meta["shards"]
     stage = _doc_stage(num_perm, bands, meta["ngram"],
                        id_col or meta["id_col"], text_col or meta["text_col"],

@@ -154,3 +154,107 @@ def test_no_candidates_returns_empty(built):
                                    "jabberwock vorpal snicker snack"}])
     out = query_lsh_index(index_dir, inc, threshold=0.5).to_pandas()
     assert len(out) == 0
+
+
+def test_compact_preserves_results_and_recovers_from_crash(built, tmp_path):
+    """Compaction merges multi-file shards without changing ANY query result,
+    and an interrupted compaction (marker written, rename+deletes not done)
+    is rolled forward on the next query so readers never see duplicates."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq2
+
+    from ethereum_etl_ray.pipelines.lshindex import (
+        _MARKER,
+        _recover_shard,
+        compact_lsh_index,
+    )
+
+    src, corpus = built
+    index_dir = str(tmp_path / "idx_copy")
+    shutil.copytree(src, index_dir)
+
+    cids = corpus.column("doc_id").to_numpy()
+    base = int(max(cids)) + 20_000
+    novel = "compaction era document with enough distinct words to shingle"
+    append_lsh_index(index_dir, ray.data.from_items(
+        [{"doc_id": base + 1, "text": novel}]))
+    inc = ray.data.from_items([
+        {"doc_id": base + 2, "text": corpus.column("text")[5].as_py()},
+        {"doc_id": base + 3, "text": novel},
+    ])
+
+    def run():
+        out = (query_lsh_index(index_dir, inc, threshold=0.5).to_pandas()
+               .sort_values(["doc_id", "dup_id"]).reset_index(drop=True))
+        return list(zip(out.doc_id, out.dup_id, out.est_jaccard_ppm))
+
+    before = run()
+    assert any(d == base + 3 and c == base + 1 for d, c, _ in before)
+
+    multi = [d for d in glob.glob(os.path.join(index_dir, "*", "*=*"))
+             if len(glob.glob(os.path.join(d, "*.parquet"))) > 1]
+    assert multi, "append should have produced multi-file shards"
+    stats = compact_lsh_index(index_dir)
+    assert stats["compacted"] >= len(multi)
+    for d in glob.glob(os.path.join(index_dir, "*", "*=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) <= 1
+    assert run() == before
+
+    # crash injection: recreate the post-marker pre-rename state in one shard
+    shard = glob.glob(os.path.join(index_dir, "sigs", "*=*"))[0]
+    [final] = glob.glob(os.path.join(shard, "*.parquet"))
+    tmp_name, final_name = "compact-crash.tmp", "compact-crash.parquet"
+    os.rename(final, os.path.join(shard, tmp_name))
+    with open(os.path.join(shard, _MARKER), "w") as f:
+        json.dump({"tmp": tmp_name, "final": final_name,
+                   "olds": [os.path.basename(final)]}, f)
+    # reader path must roll forward before reading
+    assert run() == before
+    assert glob.glob(os.path.join(shard, "*.parquet")) == [
+        os.path.join(shard, final_name)]
+    assert not os.path.exists(os.path.join(shard, _MARKER))
+    assert not _recover_shard(shard)  # idempotent, nothing left to repair
+    pq2.read_table(os.path.join(shard, final_name))  # intact parquet
+
+
+def test_cli_dedup_index_end_to_end(built, tmp_path, capsys):
+    """build → append → compact → query through the admin CLI."""
+    import json
+
+    import pyarrow.parquet as pq2
+
+    from ethereum_etl_ray.cli import main
+
+    _, corpus = built
+    docs_pq = str(tmp_path / "docs.parquet")
+    pq2.write_table(corpus, docs_pq)
+    cids = corpus.column("doc_id").to_numpy()
+    base = int(max(cids)) + 30_000
+    inc_pq = str(tmp_path / "inc.parquet")
+    pq2.write_table(pa.table({
+        "doc_id": pa.array([base + 1], pa.int64()),
+        "text": pa.array([corpus.column("text")[0].as_py()], pa.string()),
+    }), inc_pq)
+    idx = str(tmp_path / "cli_idx")
+    dest = str(tmp_path / "pairs")
+
+    main(["dedup-index", "build", "--index", idx, "--docs", docs_pq,
+          "--index-shards", "8"])
+    main(["dedup-index", "append", "--index", idx, "--docs", inc_pq])
+    main(["dedup-index", "compact", "--index", idx])
+    main(["dedup-index", "query", "--index", idx, "--docs", inc_pq,
+          "--threshold", "0.5", "--dest", dest])
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    by_action = {d["action"]: d for d in lines}
+    assert by_action["build"]["shards"] == 8
+    assert by_action["query"]["pairs"] >= 1
+    pairs = pq2.read_table(dest).to_pandas()
+    # the appended exact copy matches its corpus original; self-pair excluded
+    assert ((pairs.doc_id == base + 1) & (pairs.dup_id == cids[0])
+            & (pairs.est_jaccard_ppm == 1_000_000)).any()
+    assert not ((pairs.doc_id == base + 1) & (pairs.dup_id == base + 1)).any()
