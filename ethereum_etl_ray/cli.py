@@ -63,7 +63,20 @@ def cmd_tail(args):
     (carried across windows AND process restarts via ``_late/_state.json``)
     by more than the allowance are written to the ``out/_late`` side output
     and withheld from the merge — the lake then equals a sequential replay
-    of the KEPT stream (tests/test_resume.py)."""
+    of the KEPT stream (tests/test_resume.py).
+
+    With ``--dedup-index DIR`` the tailer maintains a persisted LSH index
+    (pipelines/lshindex.py, id = url) over everything ingested: after each
+    window commits, the window's urls are near-dup-checked against the
+    index (pairs ≥ --dedup-threshold land in ``out/_dups/window-<wm>``,
+    max-ppm per pair) and THEN appended, so every page is checked against
+    all PREVIOUSLY ingested pages — intra-window duplicates are the batch
+    dedup ops' job. The indexed watermark is carried in
+    ``out/_dups/_state.json``; on restart the tailer catches the index up
+    to the lake watermark first. Updated urls accumulate signature versions
+    (append-only index; stale-version matches possible until a periodic
+    ``dedup-index compact``/rebuild); re-appends after a crash are harmless
+    (duplicate pairs collapse to max ppm)."""
     import os
 
     _ray_up(args.num_cpus)
@@ -82,8 +95,87 @@ def cmd_tail(args):
     if lateness is not None and os.path.exists(state_path):
         with open(state_path) as f:
             hwm_carry = json.load(f).get("hwm_us")
+    dedup_dir = getattr(args, "dedup_index", None)
+    n_dups_total = 0
+    if dedup_dir:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from ethereum_etl_ray.pipelines.lshindex import (
+            append_lsh_index,
+            init_lsh_index,
+            query_lsh_index,
+        )
+        from ethereum_etl_ray.pipelines.replay import (
+            load_events,
+            load_lake,
+            lookup_urls,
+        )
+
+        init_lsh_index(dedup_dir, id_col="url", text_col="text",
+                       num_perm=64, bands=16, ngram=3, shards=16)
+        ded_state = os.path.join(args.out, "_dups", "_state.json")
+        indexed_wm = -1
+        if os.path.exists(ded_state):
+            with open(ded_state) as f:
+                indexed_wm = json.load(f).get("watermark", -1)
+
+        def _index_window(seq_gt: int, seq_le: int) -> int:
+            """Check the window's pages against the index, record pairs,
+            then append the window. Driver state is window-bounded (the
+            window's distinct urls + its near-dup pairs); a from-scratch
+            catch-up (seq_gt < 0) streams the whole lake instead of
+            building a driver url list."""
+            if seq_gt < 0:
+                docs = load_lake(args.out).map_batches(
+                    lambda t: t.select(["url", "text"]),
+                    batch_format="pyarrow", zero_copy_batch=True)
+                n_docs = docs.count()
+            else:
+                ev = load_events(corpus.event_dirs,
+                                 seq_gt=seq_gt, seq_le=seq_le)
+                urls = sorted(ev.unique("url"))
+                rows = lookup_urls(args.out, urls)  # tombstoned urls drop
+                docs = ray.data.from_arrow(rows.select(["url", "text"]))
+                n_docs = rows.num_rows
+            empty_t = pa.table({"url": pa.array([], pa.string()),
+                                "dup_url": pa.array([], pa.string()),
+                                "est_jaccard_ppm": pa.array([], pa.int64())})
+            pairs_t = empty_t
+            if n_docs:
+                pairs = (query_lsh_index(
+                    dedup_dir, docs, threshold=args.dedup_threshold)
+                    .to_pandas()
+                    .reindex(columns=["doc_id", "dup_id", "est_jaccard_ppm"]))
+                # an updated url's older signature versions can echo a pair:
+                # keep the max estimate per (url, dup_url)
+                pairs = (pairs.groupby(["doc_id", "dup_id"], as_index=False)
+                         ["est_jaccard_ppm"].max()
+                         .rename(columns={"doc_id": "url",
+                                          "dup_id": "dup_url"}))
+                if len(pairs):
+                    pairs_t = pa.Table.from_pandas(
+                        pairs, preserve_index=False).cast(empty_t.schema)
+            dups_dir = os.path.join(args.out, "_dups")
+            os.makedirs(dups_dir, exist_ok=True)
+            fname = os.path.join(dups_dir, f"window-{seq_le}.parquet")
+            pq.write_table(pairs_t, fname + ".tmp")
+            os.replace(fname + ".tmp", fname)
+            if n_docs:
+                append_lsh_index(dedup_dir, docs)
+            tmp = ded_state + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"watermark": seq_le}, f)
+            os.replace(tmp, ded_state)
+            return pairs_t.num_rows
+
     prior = load_manifest(args.out)
     wm = prior.watermark if prior else -1
+    if dedup_dir and prior is not None and prior.watermark > indexed_wm:
+        # restart catch-up: the lake is ahead of the index
+        n_dups_total += _index_window(indexed_wm, prior.watermark)
+        indexed_wm = prior.watermark
     rounds = 0
     n_late_total = 0
     while wm < corpus.watermark:
@@ -109,12 +201,17 @@ def cmd_tail(args):
                 json.dump({"hwm_us": new_carry, "watermark": wm}, f)
             os.replace(tmp, state_path)
             hwm_carry = new_carry
+        if dedup_dir:
+            n_dups_total += _index_window(max(prev_wm, indexed_wm), wm)
+            indexed_wm = wm
         rounds += 1
         print(json.dumps({"round": rounds, "watermark": wm,
                           "merged_partitions": res.merged_partitions}), file=sys.stderr)
     out = {"out": args.out, "rounds": rounds, "watermark": wm}
     if lateness is not None:
         out["late_events"] = n_late_total
+    if dedup_dir:
+        out["near_dup_pairs"] = n_dups_total
     print(json.dumps(out))
 
 
@@ -425,6 +522,12 @@ def main(argv=None):
                             help="watermark semantics: events whose warc_ts "
                                  "lags the running max by more than this go "
                                  "to out/_late instead of the merge")
+            sp.add_argument("--dedup-index", default=None,
+                            help="maintain a persisted LSH index here; each "
+                                 "window is near-dup-checked against all "
+                                 "previously ingested pages (pairs in "
+                                 "out/_dups) then appended")
+            sp.add_argument("--dedup-threshold", type=float, default=0.7)
         sp.set_defaults(fn=fn)
 
     for name, fn in [("inspect", cmd_inspect), ("compact", cmd_compact)]:

@@ -110,7 +110,11 @@ def _doc_stage(num_perm: int, bands: int, ngram: int, id_col: str,
         sigs = minhash_signatures(sh, counts, num_perm=num_perm)
         bh = lsh_band_hashes(sigs, bands=bands)  # (n, bands) uint64
         bk = (bh * _BK_MULT) ^ (np.arange(1, bands + 1, dtype=np.uint64))
-        doc = pc.cast(batch.column(id_col), pa.int64())
+        # ids keep their native type (integers normalized to int64, strings
+        # pass through — hash64 handles both); sharding only needs the hash
+        doc = batch.column(id_col)
+        if pa.types.is_integer(doc.type):
+            doc = pc.cast(doc, pa.int64())
         sig_shard = (hash64(doc) % np.uint64(shards)).astype(np.int32)
         return pa.table({
             "doc": doc,
@@ -178,6 +182,33 @@ def build_lsh_index(docs: ray.data.Dataset, index_dir: str, *,
             "id_col": id_col, "text_col": text_col}
     os.makedirs(index_dir, exist_ok=True)
     _write_doc_tables(docs, index_dir, meta, id_col, text_col)
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def init_lsh_index(index_dir: str, *, id_col: str = "doc_id",
+                   text_col: str = "text", num_perm: int = 64,
+                   bands: int = 16, ngram: int = 3, shards: int = 32) -> dict:
+    """Create an EMPTY index (meta + shard roots) for pure-incremental use —
+    e.g. a CDC tailer that appends every ingest window and queries each
+    window against everything before it. Idempotent: re-init with the same
+    params returns the existing meta; different params raise."""
+    if os.path.isfile(_meta_path(index_dir)):
+        meta = _load_meta(index_dir)
+        want = {"num_perm": int(num_perm), "bands": int(bands),
+                "ngram": int(ngram), "shards": int(shards),
+                "id_col": id_col, "text_col": text_col}
+        if meta != want:
+            raise ValueError(f"index exists with different params: {meta}")
+        return meta
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    meta = {"num_perm": int(num_perm), "bands": int(bands),
+            "ngram": int(ngram), "shards": int(shards),
+            "id_col": id_col, "text_col": text_col}
+    os.makedirs(os.path.join(index_dir, "sigs"), exist_ok=True)
+    os.makedirs(os.path.join(index_dir, "bands"), exist_ok=True)
     with open(_meta_path(index_dir), "w") as f:
         json.dump(meta, f)
     return meta
@@ -333,6 +364,10 @@ def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
     # size; materialized because it feeds two consumers (band join + sig join)
     inc = increment.map_batches(stage, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
+    # ids may be integer or string — derive the type once, from the
+    # increment's own signature table (build wrote the same native type)
+    sch = inc.schema()
+    id_t = dict(zip(sch.names, sch.types))["doc"]
 
     inc_bands = inc.map_batches(
         lambda t: _explode_bk(t, shards=shards, doc_out="new_id"),
@@ -342,8 +377,8 @@ def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
                inc_bands.groupby("shard").count().take_all()}
     band_dirs = _shard_dirs(os.path.join(index_dir, "bands"), "shard", touched)
     empty_pairs = ray.data.from_arrow(pa.table({
-        "doc_id": pa.array([], pa.int64()),
-        "dup_id": pa.array([], pa.int64()),
+        "doc_id": pa.array([], id_t),
+        "dup_id": pa.array([], id_t),
         "est_jaccard_ppm": pa.array([], pa.int64())}))
     if not band_dirs:
         return empty_pairs
@@ -359,8 +394,8 @@ def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
             lambda t: t.rename_columns(["bk2", "dup_id"]),
             batch_format="pyarrow", zero_copy_batch=True),
         left_on="bk", right_on="bk2",
-        left_fields=[("bk", pa.int64()), ("new_id", pa.int64())],
-        right_fields=[("bk2", pa.int64()), ("dup_id", pa.int64())],
+        left_fields=[("bk", pa.int64()), ("new_id", id_t)],
+        right_fields=[("bk2", pa.int64()), ("dup_id", id_t)],
     ).map_batches(
         lambda t: t.select(["new_id", "dup_id"]).filter(
             pc.not_equal(t.column("new_id"), t.column("dup_id"))),
@@ -399,8 +434,8 @@ def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
             lambda t: t.rename_columns(["__cdoc", "__csig"]),
             batch_format="pyarrow", zero_copy_batch=True),
         left_on="dup_id", right_on="__cdoc",
-        left_fields=[("new_id", pa.int64()), ("dup_id", pa.int64())],
-        right_fields=[("__cdoc", pa.int64()), ("__csig", sig_t)])
+        left_fields=[("new_id", id_t), ("dup_id", id_t)],
+        right_fields=[("__cdoc", id_t), ("__csig", sig_t)])
     inc_sigs = inc.map_batches(
         lambda t: pa.table({"__ndoc": t.column("doc"),
                             "__nsig": t.column("sig")}),
@@ -410,16 +445,16 @@ def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
                        batch_format="pyarrow", zero_copy_batch=True),
         inc_sigs,
         left_on="new_id", right_on="__ndoc",
-        left_fields=[("new_id", pa.int64()), ("dup_id", pa.int64()),
+        left_fields=[("new_id", id_t), ("dup_id", id_t),
                      ("__csig", sig_t)],
-        right_fields=[("__ndoc", pa.int64()), ("__nsig", sig_t)])
+        right_fields=[("__ndoc", id_t), ("__nsig", sig_t)])
 
     thr_ppm = int(np.floor(threshold * 1_000_000 + 0.5))
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "dup_id": pa.array([], pa.int64()),
+            return pa.table({"doc_id": pa.array([], id_t),
+                             "dup_id": pa.array([], id_t),
                              "est_jaccard_ppm": pa.array([], pa.int64())})
         a = _unpack_sigs(t.column("__nsig"), num_perm)
         b = _unpack_sigs(t.column("__csig"), num_perm)

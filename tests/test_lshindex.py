@@ -258,3 +258,108 @@ def test_cli_dedup_index_end_to_end(built, tmp_path, capsys):
     assert ((pairs.doc_id == base + 1) & (pairs.dup_id == cids[0])
             & (pairs.est_jaccard_ppm == 1_000_000)).any()
     assert not ((pairs.doc_id == base + 1) & (pairs.dup_id == base + 1)).any()
+
+
+def test_string_ids_and_empty_init(tmp_path):
+    """Ids may be strings (the tailer indexes by url): init an EMPTY index,
+    append url-keyed docs, query — same semantics as integer ids, and a
+    query against the still-empty index returns a typed empty frame."""
+    from ethereum_etl_ray.pipelines.lshindex import init_lsh_index
+
+    idx = str(tmp_path / "uidx")
+    meta = init_lsh_index(idx, id_col="url", num_perm=64, bands=16,
+                          ngram=3, shards=4)
+    assert meta["id_col"] == "url"
+    # idempotent re-init; different params refuse
+    assert init_lsh_index(idx, id_col="url", shards=4) == meta
+    with pytest.raises(ValueError):
+        init_lsh_index(idx, id_col="url", shards=8)
+
+    txt = ("the quick brown fox jumps over the lazy dog and keeps on "
+           "running through the endless synthetic corpus")
+    probe = ray.data.from_items([{"url": "https://q/x", "text": txt}])
+    empty = (query_lsh_index(idx, probe, threshold=0.5).to_pandas()
+             .reindex(columns=["doc_id", "dup_id", "est_jaccard_ppm"]))
+    assert len(empty) == 0
+
+    append_lsh_index(idx, ray.data.from_items([
+        {"url": "https://a/1", "text": txt},
+        {"url": "https://a/2", "text": "completely different words in here "
+                                       "about unrelated topics entirely"},
+    ]))
+    out = query_lsh_index(
+        idx, ray.data.from_items([{"url": "https://b/copy", "text": txt}]),
+        threshold=0.5).to_pandas()
+    got = dict(zip(zip(out.doc_id, out.dup_id), out.est_jaccard_ppm))
+    assert got == {("https://b/copy", "https://a/1"): 1_000_000}
+    # self-exclusion works for string ids too
+    self_q = (query_lsh_index(
+        idx, ray.data.from_items([{"url": "https://a/1", "text": txt}]),
+        threshold=0.5).to_pandas()
+        .reindex(columns=["doc_id", "dup_id", "est_jaccard_ppm"]))
+    assert not ((self_q.doc_id == "https://a/1")
+                & (self_q.dup_id == "https://a/1")).any()
+
+
+def test_tail_maintains_dedup_index(tmp_path, sf_dir, capsys):
+    """`cli tail --dedup-index`: each window is near-dup-checked against all
+    previously ingested pages then appended; the index ends up covering the
+    whole lake (an exact copy of any live page under a new url must be
+    flagged against THAT url), pair files and the indexed watermark persist
+    under out/_dups."""
+    import glob
+    import json
+    import os
+
+    from ethereum_etl_ray.cli import main
+    from ethereum_etl_ray.pipelines.replay import load_lake
+
+    out = str(tmp_path / "lake")
+    idx = str(tmp_path / "didx")
+    main(["tail", "--sf-dir", sf_dir, "--out", out, "--window", "3000",
+          "--partitions", "8", "--dedup-index", idx,
+          "--dedup-threshold", "0.7"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "near_dup_pairs" in res
+    with open(os.path.join(out, "_dups", "_state.json")) as f:
+        assert json.load(f)["watermark"] == res["watermark"]
+    files = glob.glob(os.path.join(out, "_dups", "window-*.parquet"))
+    assert len(files) >= 2  # one artifact per window
+
+    df = load_lake(out).to_pandas()
+    row = df.iloc[7]
+    probe = ray.data.from_items([{"url": "https://probe/x",
+                                  "text": row.text}])
+    got = query_lsh_index(idx, probe, threshold=0.7).to_pandas()
+    assert ((got.doc_id == "https://probe/x") & (got.dup_id == row.url)
+            & (got.est_jaccard_ppm == 1_000_000)).any()
+
+
+def test_tail_dedup_index_restart_catchup(tmp_path, sf_dir, capsys):
+    """A lake that is AHEAD of the index (replay ran without one, or the
+    index state was lost) is caught up in one streaming pass before
+    tailing resumes."""
+    import json
+    import os
+
+    from ethereum_etl_ray.cli import main
+    from ethereum_etl_ray.pipelines.replay import load_lake
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    out = str(tmp_path / "lake2")
+    idx = str(tmp_path / "didx2")
+    main(["replay", "--sf-dir", sf_dir, "--out", out, "--partitions", "8"])
+    main(["tail", "--sf-dir", sf_dir, "--out", out, "--window", "3000",
+          "--partitions", "8", "--dedup-index", idx])
+    capsys.readouterr()
+    corpus = ensure_corpus(sf_dir, events_per_doc=20.0)
+    with open(os.path.join(out, "_dups", "_state.json")) as f:
+        assert json.load(f)["watermark"] == corpus.watermark
+
+    df = load_lake(out).to_pandas()
+    row = df.iloc[3]
+    probe = ray.data.from_items([{"url": "https://probe/y",
+                                  "text": row.text}])
+    got = query_lsh_index(idx, probe, threshold=0.7).to_pandas()
+    assert ((got.doc_id == "https://probe/y") & (got.dup_id == row.url)
+            & (got.est_jaccard_ppm == 1_000_000)).any()
