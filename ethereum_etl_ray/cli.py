@@ -74,9 +74,12 @@ def cmd_tail(args):
     dedup ops' job. The indexed watermark is carried in
     ``out/_dups/_state.json``; on restart the tailer catches the index up
     to the lake watermark first. Updated urls accumulate signature versions
-    (append-only index; stale-version matches possible until a periodic
-    ``dedup-index compact``/rebuild); re-appends after a crash are harmless
-    (duplicate pairs collapse to max ppm)."""
+    (append-only index: stale-version matches persist until a REBUILD —
+    ``dedup-index compact`` only merges files, it never drops superseded
+    versions); a crash between a window's append and its state write means
+    that window is re-appended on restart (duplicate signature rows are
+    harmless for candidate generation; the window's pairs artifact is NOT
+    rewritten once it exists, so it stays free of intra-window echoes)."""
     import os
 
     _ray_up(args.num_cpus)
@@ -103,9 +106,8 @@ def cmd_tail(args):
         import ray.data
 
         from ethereum_etl_ray.pipelines.lshindex import (
-            append_lsh_index,
+            check_and_append,
             init_lsh_index,
-            query_lsh_index,
         )
         from ethereum_etl_ray.pipelines.replay import (
             load_events,
@@ -122,48 +124,50 @@ def cmd_tail(args):
                 indexed_wm = json.load(f).get("watermark", -1)
 
         def _index_window(seq_gt: int, seq_le: int) -> int:
-            """Check the window's pages against the index, record pairs,
-            then append the window. Driver state is window-bounded (the
-            window's distinct urls + its near-dup pairs); a from-scratch
-            catch-up (seq_gt < 0) streams the whole lake instead of
-            building a driver url list."""
+            """Check-then-append the window's pages (ONE staging pass via
+            check_and_append), record the pair artifact. Driver state is
+            window-bounded (the window's distinct urls + its near-dup
+            pairs); a from-scratch catch-up (seq_gt < 0) streams the whole
+            lake instead of building a driver url list."""
             if seq_gt < 0:
                 docs = load_lake(args.out).map_batches(
                     lambda t: t.select(["url", "text"]),
                     batch_format="pyarrow", zero_copy_batch=True)
-                n_docs = docs.count()
             else:
                 ev = load_events(corpus.event_dirs,
                                  seq_gt=seq_gt, seq_le=seq_le)
                 urls = sorted(ev.unique("url"))
                 rows = lookup_urls(args.out, urls)  # tombstoned urls drop
                 docs = ray.data.from_arrow(rows.select(["url", "text"]))
-                n_docs = rows.num_rows
+            pairs_ds, _ = check_and_append(
+                dedup_dir, docs, threshold=args.dedup_threshold)
             empty_t = pa.table({"url": pa.array([], pa.string()),
                                 "dup_url": pa.array([], pa.string()),
                                 "est_jaccard_ppm": pa.array([], pa.int64())})
             pairs_t = empty_t
-            if n_docs:
-                pairs = (query_lsh_index(
-                    dedup_dir, docs, threshold=args.dedup_threshold)
-                    .to_pandas()
-                    .reindex(columns=["doc_id", "dup_id", "est_jaccard_ppm"]))
-                # an updated url's older signature versions can echo a pair:
-                # keep the max estimate per (url, dup_url)
+            pairs = (pairs_ds.to_pandas()
+                     .reindex(columns=["doc_id", "dup_id",
+                                       "est_jaccard_ppm"]))
+            if len(pairs):
+                # an updated url's older signature versions can echo a
+                # pair: keep the max estimate per (url, dup_url)
                 pairs = (pairs.groupby(["doc_id", "dup_id"], as_index=False)
                          ["est_jaccard_ppm"].max()
                          .rename(columns={"doc_id": "url",
                                           "dup_id": "dup_url"}))
-                if len(pairs):
-                    pairs_t = pa.Table.from_pandas(
-                        pairs, preserve_index=False).cast(empty_t.schema)
+                pairs_t = pa.Table.from_pandas(
+                    pairs, preserve_index=False).cast(empty_t.schema)
             dups_dir = os.path.join(args.out, "_dups")
             os.makedirs(dups_dir, exist_ok=True)
             fname = os.path.join(dups_dir, f"window-{seq_le}.parquet")
-            pq.write_table(pairs_t, fname + ".tmp")
-            os.replace(fname + ".tmp", fname)
-            if n_docs:
-                append_lsh_index(dedup_dir, docs)
+            if not os.path.exists(fname):
+                # crash-rerun of an already-reported window: the index was
+                # (re-)appended above, but the clean pre-append artifact is
+                # kept — a rerun's pairs would include intra-window echoes
+                pq.write_table(pairs_t, fname + ".tmp")
+                os.replace(fname + ".tmp", fname)
+            else:
+                pairs_t = pq.read_table(fname)
             tmp = ded_state + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"watermark": seq_le}, f)

@@ -59,7 +59,7 @@ from ethereum_etl_ray.functions.dedup import (
     tokenize_column,
     word_ngram_hashes,
 )
-from ethereum_etl_ray.functions.hashing import hash64
+from ethereum_etl_ray.functions.hashing import hash64, partition_ids
 
 # bucket keys fold the band index into the band hash so identical signature
 # rows in DIFFERENT bands cannot cross-match at the join (the per-band
@@ -115,7 +115,7 @@ def _doc_stage(num_perm: int, bands: int, ngram: int, id_col: str,
         doc = batch.column(id_col)
         if pa.types.is_integer(doc.type):
             doc = pc.cast(doc, pa.int64())
-        sig_shard = (hash64(doc) % np.uint64(shards)).astype(np.int32)
+        sig_shard = partition_ids(doc, shards)
         return pa.table({
             "doc": doc,
             "sig": _pack_sigs(sigs),
@@ -150,23 +150,45 @@ def _load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _sig_files(index_dir: str) -> set[str]:
+    import glob as _glob
+
+    return set(_glob.glob(os.path.join(index_dir, "sigs", "*=*",
+                                       "*.parquet")))
+
+
+def _write_band_table(sigs_ds: ray.data.Dataset, index_dir: str,
+                      meta: dict) -> None:
+    band_dir = os.path.join(index_dir, "bands")
+    os.makedirs(band_dir, exist_ok=True)
+    (sigs_ds.map_batches(lambda t: _explode_bk(t, shards=meta["shards"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+        .write_parquet(band_dir, partition_cols=["shard"]))
+
+
 def _write_doc_tables(docs: ray.data.Dataset, index_dir: str, meta: dict,
                       id_col: str, text_col: str) -> None:
-    """One text pass → sigs table on disk; band table derived by reading the
-    (column-pruned, text-free) sigs table back — no object-store
-    materialization of the corpus-sized intermediate."""
+    """One text pass → sigs table on disk; band table derived by reading
+    back ONLY the sig files this write produced (snapshot-diff around the
+    write — single-writer op, like compaction), so the write stays fully
+    streaming (no object-store materialization of the corpus-sized
+    intermediate) and an APPEND's band derivation is increment-sized, never
+    O(corpus). Sigs land before bands; a crash between the two leaves the
+    sig rows invisible to the band join (no pairs) until the next write —
+    re-append the window to repair (duplicate rows are harmless)."""
     stage = _doc_stage(meta["num_perm"], meta["bands"], meta["ngram"],
                        id_col, text_col, meta["shards"])
     sig_dir = os.path.join(index_dir, "sigs")
     os.makedirs(sig_dir, exist_ok=True)
+    before = _sig_files(index_dir)
     (docs.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
          .write_parquet(sig_dir, partition_cols=["sig_shard"]))
-    band_dir = os.path.join(index_dir, "bands")
-    os.makedirs(band_dir, exist_ok=True)
-    (ray.data.read_parquet(sig_dir, columns=["doc", "bk"])
-        .map_batches(lambda t: _explode_bk(t, shards=meta["shards"]),
-                     batch_format="pyarrow", zero_copy_batch=True)
-        .write_parquet(band_dir, partition_cols=["shard"]))
+    new_files = sorted(_sig_files(index_dir) - before)
+    if not new_files:
+        return
+    _write_band_table(
+        ray.data.read_parquet(new_files, columns=["doc", "bk"]), index_dir,
+        meta)
 
 
 def build_lsh_index(docs: ray.data.Dataset, index_dir: str, *,
@@ -212,6 +234,40 @@ def init_lsh_index(index_dir: str, *, id_col: str = "doc_id",
     with open(_meta_path(index_dir), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def _write_staged(staged: ray.data.Dataset, index_dir: str,
+                  meta: dict) -> None:
+    """Write an already-staged signature table into the index (sigs, then
+    bands derived from the same staged table — no file-diff, no re-read)."""
+    sig_dir = os.path.join(index_dir, "sigs")
+    os.makedirs(sig_dir, exist_ok=True)
+    staged.write_parquet(sig_dir, partition_cols=["sig_shard"])
+    _write_band_table(staged, index_dir, meta)
+
+
+def check_and_append(index_dir: str, increment: ray.data.Dataset, *,
+                     threshold: float = 0.7, id_col: str | None = None,
+                     text_col: str | None = None,
+                     candidate_broadcast_threshold: int = 2_000_000,
+                     ) -> tuple[ray.data.Dataset, int]:
+    """The CDC ingest step: near-dup-check the increment against everything
+    indexed, THEN append it — sharing ONE staging pass (each doc is
+    shingled/MinHashed once, not twice as separate query+append calls
+    would). Pairs are materialized before the append so the increment never
+    matches itself. Returns ``(pairs_dataset, n_docs_appended)``."""
+    meta = _load_meta(index_dir)
+    _recover_index(index_dir)
+    staged = _stage_increment(increment, meta, id_col, text_col)
+    n = staged.count()
+    pairs = query_lsh_index(
+        index_dir, increment, threshold=threshold, id_col=id_col,
+        text_col=text_col,
+        candidate_broadcast_threshold=candidate_broadcast_threshold,
+        _staged=staged).materialize()
+    if n:
+        _write_staged(staged, index_dir, meta)
+    return pairs, int(n)
 
 
 def append_lsh_index(index_dir: str, new_docs: ray.data.Dataset, *,
@@ -324,7 +380,10 @@ def compact_lsh_index(index_dir: str, *, concurrency: int = 8) -> dict:
         dirs.extend(d for d in sorted(
             _glob.glob(os.path.join(index_dir, base, "*=*")))
             if os.path.isdir(d))
-    stats = ray.get([one.remote(d) for d in dirs])
+    stats = []
+    for i in range(0, len(dirs), concurrency):  # bounded submission waves
+        stats.extend(ray.get([one.remote(d)
+                              for d in dirs[i:i + concurrency]]))
     return {"shards": len(dirs),
             "compacted": sum(c for _, c in stats),
             "files_before": sum(n for n, _ in stats)}
@@ -340,10 +399,24 @@ def _shard_dirs(base: str, col: str, touched) -> list[str]:
                   for f in _glob.glob(os.path.join(d, "*.parquet")))
 
 
+def _stage_increment(increment: ray.data.Dataset, meta: dict,
+                     id_col: str | None, text_col: str | None
+                     ) -> ray.data.Dataset:
+    """Materialized signature table of a CDC increment — bounded by ingest
+    cadence, not corpus size; materialized because it feeds multiple
+    consumers (band join + sig join, and optionally the index append)."""
+    stage = _doc_stage(meta["num_perm"], meta["bands"], meta["ngram"],
+                       id_col or meta["id_col"], text_col or meta["text_col"],
+                       meta["shards"])
+    return increment.map_batches(stage, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+
 def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
                     threshold: float = 0.7, id_col: str | None = None,
                     text_col: str | None = None,
                     candidate_broadcast_threshold: int = 2_000_000,
+                    _staged: ray.data.Dataset | None = None,
                     ) -> ray.data.Dataset:
     """Near-dup pairs (increment doc, corpus doc) with signature-estimated
     Jaccard ≥ ``threshold``. Returns a Dataset with columns
@@ -351,22 +424,24 @@ def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
     ``dup_id`` from the indexed corpus, one row per distinct pair.
 
     Self-pairs (an increment doc already appended to the index under the
-    same id) are excluded."""
+    same id) are excluded. ``_staged`` (internal, see ``check_and_append``)
+    supplies an already-staged signature table to avoid re-shingling."""
     from ethereum_etl_ray.stages.joins import cogroup_join, semi_anti_filter
 
     meta = _load_meta(index_dir)
     _recover_index(index_dir)
     num_perm, bands, shards = meta["num_perm"], meta["bands"], meta["shards"]
-    stage = _doc_stage(num_perm, bands, meta["ngram"],
-                       id_col or meta["id_col"], text_col or meta["text_col"],
-                       shards)
-    # the increment is the CDC batch — bounded by ingest cadence, not corpus
-    # size; materialized because it feeds two consumers (band join + sig join)
-    inc = increment.map_batches(stage, batch_format="pyarrow",
-                                zero_copy_batch=True).materialize()
+    inc = _staged if _staged is not None else _stage_increment(
+        increment, meta, id_col, text_col)
     # ids may be integer or string — derive the type once, from the
-    # increment's own signature table (build wrote the same native type)
+    # increment's own signature table (build wrote the same native type);
+    # a zero-row increment has no schema → typed-empty result immediately
     sch = inc.schema()
+    if sch is None or inc.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "dup_id": pa.array([], pa.string()),
+            "est_jaccard_ppm": pa.array([], pa.int64())}))
     id_t = dict(zip(sch.names, sch.types))["doc"]
 
     inc_bands = inc.map_batches(
@@ -419,7 +494,7 @@ def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
                   cand.select_columns(["dup_id"])
                       .iter_batches(batch_format="numpy")]
         cids = np.unique(np.concatenate(chunks))
-        sig_touched = np.unique(hash64(cids) % np.uint64(shards)).tolist()
+        sig_touched = np.unique(partition_ids(cids, shards)).tolist()
         sig_dirs = _shard_dirs(sig_base, "sig_shard", sig_touched)
         corpus_sigs = ray.data.read_parquet(sig_dirs, columns=["doc", "sig"])
         corpus_sigs = semi_anti_filter(corpus_sigs, cids, on="doc")

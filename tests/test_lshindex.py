@@ -363,3 +363,70 @@ def test_tail_dedup_index_restart_catchup(tmp_path, sf_dir, capsys):
     got = query_lsh_index(idx, probe, threshold=0.7).to_pandas()
     assert ((got.doc_id == "https://probe/y") & (got.dup_id == row.url)
             & (got.est_jaccard_ppm == 1_000_000)).any()
+
+
+def test_append_band_table_grows_by_increment_only(tmp_path):
+    """Regression: append must derive band rows from the NEW docs only —
+    re-exploding the whole sigs table made the band table grow
+    quadratically with appends."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq2
+
+    texts = [f"document number {i} with some shared filler words plus "
+             f"unique token u{i} and more padding text" for i in range(19)]
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    idx = str(tmp_path / "bidx")
+    build_lsh_index(docs, idx, **PARAMS)
+
+    def band_rows():
+        files = glob.glob(os.path.join(idx, "bands", "*=*", "*.parquet"))
+        return sum(pq2.ParquetFile(f).metadata.num_rows for f in files)
+
+    assert band_rows() == 19 * PARAMS["bands"]
+    append_lsh_index(idx, ray.data.from_items(
+        [{"doc_id": 100, "text": "a wholly new appended document"}]))
+    assert band_rows() == 20 * PARAMS["bands"]
+    append_lsh_index(idx, ray.data.from_items(
+        [{"doc_id": 101, "text": "another appended document arrives"}]))
+    assert band_rows() == 21 * PARAMS["bands"]
+
+
+def test_query_empty_increment_returns_typed_empty(built):
+    """A zero-row increment (e.g. `dedup-index query --docs empty.parquet`)
+    must return the typed empty pairs table, not crash on a None schema."""
+    index_dir, _ = built
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    out = (query_lsh_index(index_dir, empty, threshold=0.5).to_pandas()
+           .reindex(columns=["doc_id", "dup_id", "est_jaccard_ppm"]))
+    assert len(out) == 0
+
+
+def test_check_and_append_single_staging_pass(tmp_path):
+    """check_and_append: pairs reflect the pre-append index (no self-match),
+    and the increment is searchable afterwards."""
+    from ethereum_etl_ray.pipelines.lshindex import check_and_append
+
+    idx = str(tmp_path / "caidx")
+    base_txt = ("shared content that will be duplicated across ingest "
+                "windows with plenty of words to shingle properly")
+    build_lsh_index(ray.data.from_items(
+        [{"doc_id": 1, "text": base_txt},
+         {"doc_id": 2, "text": "unrelated material entirely different"}]),
+        idx, **PARAMS)
+    inc = ray.data.from_items([{"doc_id": 10, "text": base_txt},
+                               {"doc_id": 11, "text": base_txt}])
+    pairs, n = check_and_append(idx, inc, threshold=0.5)
+    assert n == 2
+    got = {(r["doc_id"], r["dup_id"]) for r in pairs.take_all()}
+    # both increment docs match the CORPUS doc, not each other (the check
+    # ran against the pre-append index)
+    assert got == {(10, 1), (11, 1)}
+    # and the appended docs are now themselves searchable
+    later = query_lsh_index(idx, ray.data.from_items(
+        [{"doc_id": 20, "text": base_txt}]), threshold=0.5).to_pandas()
+    assert {1, 10, 11} <= set(later.dup_id)
