@@ -67,19 +67,21 @@ def cmd_tail(args):
 
     With ``--dedup-index DIR`` the tailer maintains a persisted LSH index
     (pipelines/lshindex.py, id = url) over everything ingested: after each
-    window commits, the window's urls are near-dup-checked against the
-    index (pairs ≥ --dedup-threshold land in ``out/_dups/window-<wm>``,
-    max-ppm per pair) and THEN appended, so every page is checked against
-    all PREVIOUSLY ingested pages — intra-window duplicates are the batch
-    dedup ops' job. The indexed watermark is carried in
+    window commits, the window's pages are staged once, near-dup-checked
+    against the PRE-append index (pairs ≥ --dedup-threshold land in
+    ``out/_dups/window-<wm>``, max-ppm per pair), and only then appended —
+    every page is checked against all PREVIOUSLY ingested pages;
+    intra-window duplicates are the batch dedup ops' job, and the
+    artifact-before-append ordering means no crash point can leave an
+    artifact with intra-window echoes. The indexed watermark is carried in
     ``out/_dups/_state.json``; on restart the tailer catches the index up
-    to the lake watermark first. Updated urls accumulate signature versions
-    (append-only index: stale-version matches persist until a REBUILD —
-    ``dedup-index compact`` only merges files, it never drops superseded
-    versions); a crash between a window's append and its state write means
-    that window is re-appended on restart (duplicate signature rows are
-    harmless for candidate generation; the window's pairs artifact is NOT
-    rewritten once it exists, so it stays free of intra-window echoes)."""
+    to the lake watermark first (keeping existing window artifacts when the
+    state file is present — a crash-rerun — and recomputing them when it
+    is absent, i.e. a wiped/rebuilt index). Updated urls accumulate
+    signature versions (append-only index: stale-version matches persist
+    until a REBUILD — ``dedup-index compact`` only merges files, it never
+    drops superseded versions); re-appends after a crash leave duplicate
+    signature rows, which are harmless for candidate generation."""
     import os
 
     _ray_up(args.num_cpus)
@@ -106,8 +108,10 @@ def cmd_tail(args):
         import ray.data
 
         from ethereum_etl_ray.pipelines.lshindex import (
-            check_and_append,
+            append_staged,
             init_lsh_index,
+            query_lsh_index,
+            stage_increment,
         )
         from ethereum_etl_ray.pipelines.replay import (
             load_events,
@@ -119,13 +123,19 @@ def cmd_tail(args):
                        num_perm=64, bands=16, ngram=3, shards=16)
         ded_state = os.path.join(args.out, "_dups", "_state.json")
         indexed_wm = -1
-        if os.path.exists(ded_state):
+        # captured ONCE: state present at startup ⇒ reruns are crash-reruns
+        # and existing window artifacts are kept; state absent ⇒ the index
+        # was wiped/rebuilt, so stale artifacts are recomputed + overwritten
+        had_state0 = os.path.exists(ded_state)
+        if had_state0:
             with open(ded_state) as f:
                 indexed_wm = json.load(f).get("watermark", -1)
 
-        def _index_window(seq_gt: int, seq_le: int) -> int:
-            """Check-then-append the window's pages (ONE staging pass via
-            check_and_append), record the pair artifact. Driver state is
+        def _index_window(seq_gt: int, seq_le: int, *,
+                          had_state: bool) -> int:
+            """Stage the window ONCE, query the PRE-append index, persist
+            the pair artifact, THEN append — so no crash point can leave an
+            artifact containing intra-window echoes. Driver state is
             window-bounded (the window's distinct urls + its near-dup
             pairs); a from-scratch catch-up (seq_gt < 0) streams the whole
             lake instead of building a driver url list."""
@@ -139,35 +149,42 @@ def cmd_tail(args):
                 urls = sorted(ev.unique("url"))
                 rows = lookup_urls(args.out, urls)  # tombstoned urls drop
                 docs = ray.data.from_arrow(rows.select(["url", "text"]))
-            pairs_ds, _ = check_and_append(
-                dedup_dir, docs, threshold=args.dedup_threshold)
-            empty_t = pa.table({"url": pa.array([], pa.string()),
-                                "dup_url": pa.array([], pa.string()),
-                                "est_jaccard_ppm": pa.array([], pa.int64())})
-            pairs_t = empty_t
-            pairs = (pairs_ds.to_pandas()
-                     .reindex(columns=["doc_id", "dup_id",
-                                       "est_jaccard_ppm"]))
-            if len(pairs):
-                # an updated url's older signature versions can echo a
-                # pair: keep the max estimate per (url, dup_url)
-                pairs = (pairs.groupby(["doc_id", "dup_id"], as_index=False)
-                         ["est_jaccard_ppm"].max()
-                         .rename(columns={"doc_id": "url",
-                                          "dup_id": "dup_url"}))
-                pairs_t = pa.Table.from_pandas(
-                    pairs, preserve_index=False).cast(empty_t.schema)
+            staged = stage_increment(dedup_dir, docs)
             dups_dir = os.path.join(args.out, "_dups")
             os.makedirs(dups_dir, exist_ok=True)
             fname = os.path.join(dups_dir, f"window-{seq_le}.parquet")
-            if not os.path.exists(fname):
-                # crash-rerun of an already-reported window: the index was
-                # (re-)appended above, but the clean pre-append artifact is
-                # kept — a rerun's pairs would include intra-window echoes
+            if os.path.exists(fname) and had_state:
+                # crash-rerun of an already-reported window (state file
+                # present, watermark behind): keep the clean pre-append
+                # artifact — a rerun's query may see the window's own docs
+                pairs_t = pq.read_table(fname)
+            else:
+                # fresh window, or artifacts outliving a wiped/rebuilt
+                # index state (no state file): (re)compute and overwrite
+                empty_t = pa.table({
+                    "url": pa.array([], pa.string()),
+                    "dup_url": pa.array([], pa.string()),
+                    "est_jaccard_ppm": pa.array([], pa.int64())})
+                pairs_t = empty_t
+                pairs = (query_lsh_index(dedup_dir, docs,
+                                         threshold=args.dedup_threshold,
+                                         _staged=staged)
+                         .to_pandas()
+                         .reindex(columns=["doc_id", "dup_id",
+                                           "est_jaccard_ppm"]))
+                if len(pairs):
+                    # an updated url's older signature versions can echo a
+                    # pair: keep the max estimate per (url, dup_url)
+                    pairs = (pairs.groupby(["doc_id", "dup_id"],
+                                           as_index=False)
+                             ["est_jaccard_ppm"].max()
+                             .rename(columns={"doc_id": "url",
+                                              "dup_id": "dup_url"}))
+                    pairs_t = pa.Table.from_pandas(
+                        pairs, preserve_index=False).cast(empty_t.schema)
                 pq.write_table(pairs_t, fname + ".tmp")
                 os.replace(fname + ".tmp", fname)
-            else:
-                pairs_t = pq.read_table(fname)
+            append_staged(dedup_dir, staged)
             tmp = ded_state + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"watermark": seq_le}, f)
@@ -178,7 +195,8 @@ def cmd_tail(args):
     wm = prior.watermark if prior else -1
     if dedup_dir and prior is not None and prior.watermark > indexed_wm:
         # restart catch-up: the lake is ahead of the index
-        n_dups_total += _index_window(indexed_wm, prior.watermark)
+        n_dups_total += _index_window(indexed_wm, prior.watermark,
+                                      had_state=had_state0)
         indexed_wm = prior.watermark
     rounds = 0
     n_late_total = 0
@@ -206,7 +224,8 @@ def cmd_tail(args):
             os.replace(tmp, state_path)
             hwm_carry = new_carry
         if dedup_dir:
-            n_dups_total += _index_window(max(prev_wm, indexed_wm), wm)
+            n_dups_total += _index_window(max(prev_wm, indexed_wm), wm,
+                                          had_state=had_state0)
             indexed_wm = wm
         rounds += 1
         print(json.dumps({"round": rounds, "watermark": wm,

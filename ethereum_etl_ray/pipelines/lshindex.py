@@ -151,44 +151,66 @@ def _load_meta(index_dir: str) -> dict:
 
 
 def _sig_files(index_dir: str) -> set[str]:
+    """Sig parquet files as index-relative paths (ledger keys)."""
     import glob as _glob
 
-    return set(_glob.glob(os.path.join(index_dir, "sigs", "*=*",
-                                       "*.parquet")))
+    return {os.path.relpath(f, index_dir) for f in
+            _glob.glob(os.path.join(index_dir, "sigs", "*=*", "*.parquet"))}
 
 
-def _write_band_table(sigs_ds: ray.data.Dataset, index_dir: str,
-                      meta: dict) -> None:
+def _ledger_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "bands_ledger.json")
+
+
+def _load_ledger(index_dir: str) -> set[str]:
+    p = _ledger_path(index_dir)
+    if not os.path.isfile(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
+
+
+def _derive_pending_bands(index_dir: str, meta: dict) -> int:
+    """Explode band rows for every sig file NOT yet in the band ledger, then
+    commit the ledger (atomic rewrite). This is the ONLY band writer:
+    appends stay increment-sized, and a crash between a sigs write and the
+    band derivation is self-healing — the orphaned files are simply still
+    pending on the next call. A crash between the band write and the ledger
+    commit re-explodes those files next time, producing duplicate band rows,
+    which are harmless (candidates are made distinct before verification).
+    Returns the number of files processed."""
+    pending = sorted(_sig_files(index_dir) - _load_ledger(index_dir))
+    if not pending:
+        return 0
     band_dir = os.path.join(index_dir, "bands")
     os.makedirs(band_dir, exist_ok=True)
-    (sigs_ds.map_batches(lambda t: _explode_bk(t, shards=meta["shards"]),
-                         batch_format="pyarrow", zero_copy_batch=True)
+    (ray.data.read_parquet([os.path.join(index_dir, f) for f in pending],
+                           columns=["doc", "bk"])
+        .map_batches(lambda t: _explode_bk(t, shards=meta["shards"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
         .write_parquet(band_dir, partition_cols=["shard"]))
+    done = sorted(_load_ledger(index_dir) | set(pending))
+    tmp = _ledger_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(done, f)
+    os.replace(tmp, _ledger_path(index_dir))
+    return len(pending)
 
 
 def _write_doc_tables(docs: ray.data.Dataset, index_dir: str, meta: dict,
                       id_col: str, text_col: str) -> None:
-    """One text pass → sigs table on disk; band table derived by reading
-    back ONLY the sig files this write produced (snapshot-diff around the
-    write — single-writer op, like compaction), so the write stays fully
-    streaming (no object-store materialization of the corpus-sized
-    intermediate) and an APPEND's band derivation is increment-sized, never
-    O(corpus). Sigs land before bands; a crash between the two leaves the
-    sig rows invisible to the band join (no pairs) until the next write —
-    re-append the window to repair (duplicate rows are harmless)."""
+    """One text pass → sigs table on disk (fully streaming, no object-store
+    materialization of the corpus-sized intermediate); band rows are then
+    derived for all ledger-pending sig files — increment-sized for appends,
+    never O(corpus), and self-healing after crashes (see
+    ``_derive_pending_bands``)."""
     stage = _doc_stage(meta["num_perm"], meta["bands"], meta["ngram"],
                        id_col, text_col, meta["shards"])
     sig_dir = os.path.join(index_dir, "sigs")
     os.makedirs(sig_dir, exist_ok=True)
-    before = _sig_files(index_dir)
     (docs.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
          .write_parquet(sig_dir, partition_cols=["sig_shard"]))
-    new_files = sorted(_sig_files(index_dir) - before)
-    if not new_files:
-        return
-    _write_band_table(
-        ray.data.read_parquet(new_files, columns=["doc", "bk"]), index_dir,
-        meta)
+    _derive_pending_bands(index_dir, meta)
 
 
 def build_lsh_index(docs: ray.data.Dataset, index_dir: str, *,
@@ -238,12 +260,37 @@ def init_lsh_index(index_dir: str, *, id_col: str = "doc_id",
 
 def _write_staged(staged: ray.data.Dataset, index_dir: str,
                   meta: dict) -> None:
-    """Write an already-staged signature table into the index (sigs, then
-    bands derived from the same staged table — no file-diff, no re-read)."""
+    """Write an already-staged signature table into the index: sigs first,
+    then bands for whatever the ledger says is pending (uniform, crash
+    self-healing — same path as build/append)."""
     sig_dir = os.path.join(index_dir, "sigs")
     os.makedirs(sig_dir, exist_ok=True)
     staged.write_parquet(sig_dir, partition_cols=["sig_shard"])
-    _write_band_table(staged, index_dir, meta)
+    _derive_pending_bands(index_dir, meta)
+
+
+def stage_increment(index_dir: str, increment: ray.data.Dataset, *,
+                    id_col: str | None = None,
+                    text_col: str | None = None) -> ray.data.Dataset:
+    """Stage a CDC increment ONCE (shingle/MinHash each doc a single time);
+    the result feeds ``query_lsh_index(..., _staged=...)`` and
+    ``append_staged`` so a check-then-append ingest step does one pass.
+    Runs index recovery, so the staged query may skip it."""
+    meta = _load_meta(index_dir)
+    _recover_index(index_dir)
+    return _stage_increment(increment, meta, id_col, text_col)
+
+
+def append_staged(index_dir: str, staged: ray.data.Dataset) -> int:
+    """Append a staged signature table into the index; returns the number
+    of docs appended. Call AFTER the staged query and after persisting any
+    pre-append artifacts (the tailer writes its pairs file first, so a
+    crash here never contaminates the artifact with intra-window echoes)."""
+    meta = _load_meta(index_dir)
+    n = staged.count()
+    if n:
+        _write_staged(staged, index_dir, meta)
+    return int(n)
 
 
 def check_and_append(index_dir: str, increment: ray.data.Dataset, *,
@@ -251,23 +298,21 @@ def check_and_append(index_dir: str, increment: ray.data.Dataset, *,
                      text_col: str | None = None,
                      candidate_broadcast_threshold: int = 2_000_000,
                      ) -> tuple[ray.data.Dataset, int]:
-    """The CDC ingest step: near-dup-check the increment against everything
-    indexed, THEN append it — sharing ONE staging pass (each doc is
+    """Convenience fusion of stage → query → append (each doc is
     shingled/MinHashed once, not twice as separate query+append calls
     would). Pairs are materialized before the append so the increment never
-    matches itself. Returns ``(pairs_dataset, n_docs_appended)``."""
-    meta = _load_meta(index_dir)
-    _recover_index(index_dir)
-    staged = _stage_increment(increment, meta, id_col, text_col)
-    n = staged.count()
+    matches itself. Returns ``(pairs_dataset, n_docs_appended)``. Callers
+    that persist a pre-append artifact should use the split API
+    (``stage_increment`` / ``query_lsh_index(_staged=)`` /
+    ``append_staged``) so the artifact lands before the append."""
+    staged = stage_increment(index_dir, increment,
+                             id_col=id_col, text_col=text_col)
     pairs = query_lsh_index(
         index_dir, increment, threshold=threshold, id_col=id_col,
         text_col=text_col,
         candidate_broadcast_threshold=candidate_broadcast_threshold,
         _staged=staged).materialize()
-    if n:
-        _write_staged(staged, index_dir, meta)
-    return pairs, int(n)
+    return pairs, append_staged(index_dir, staged)
 
 
 def append_lsh_index(index_dir: str, new_docs: ray.data.Dataset, *,
@@ -348,13 +393,13 @@ def compact_lsh_index(index_dir: str, *, concurrency: int = 8) -> dict:
     import ray
 
     @ray.remote(num_cpus=1)
-    def one(shard_dir: str) -> tuple[int, int]:
+    def one(shard_dir: str) -> tuple[int, int, list[str], str | None]:
         import pyarrow.parquet as _pq
 
         _recover_shard(shard_dir)
         files = sorted(_glob.glob(os.path.join(shard_dir, "*.parquet")))
         if len(files) <= 1:
-            return (len(files), 0)
+            return (len(files), 0, [], None)
         merged = pa.concat_tables([_pq.read_table(f) for f in files])
         tag = uuid.uuid4().hex[:12]
         tmp_name, final_name = f"compact-{tag}.tmp", f"compact-{tag}.parquet"
@@ -373,20 +418,44 @@ def compact_lsh_index(index_dir: str, *, concurrency: int = 8) -> dict:
         for p in files:
             os.remove(p)
         os.remove(os.path.join(shard_dir, _MARKER))
-        return (len(files), 1)
+        return (len(files), 1,
+                [os.path.basename(p) for p in files], final_name)
 
     dirs = []
     for base in ("sigs", "bands"):
         dirs.extend(d for d in sorted(
             _glob.glob(os.path.join(index_dir, base, "*=*")))
             if os.path.isdir(d))
-    stats = []
-    for i in range(0, len(dirs), concurrency):  # bounded submission waves
-        stats.extend(ray.get([one.remote(d)
-                              for d in dirs[i:i + concurrency]]))
+    # sliding window: keep `concurrency` tasks in flight (a wave barrier
+    # would stall each wave on its slowest shard)
+    stats, inflight, idx = [], {}, 0
+    while idx < len(dirs) and len(inflight) < concurrency:
+        inflight[one.remote(dirs[idx])] = dirs[idx]
+        idx += 1
+    while inflight:
+        done, _ = ray.wait(list(inflight), num_returns=1)
+        d = inflight.pop(done[0])
+        stats.append((d, ray.get(done[0])))
+        if idx < len(dirs):
+            inflight[one.remote(dirs[idx])] = dirs[idx]
+            idx += 1
+    # the band LEDGER tracks sig files by relative path; translate each
+    # compacted sig shard's old names to the new one so the next append
+    # doesn't see the compacted file as pending and re-explode the shard
+    ledger = _load_ledger(index_dir)
+    sig_root = os.path.join(index_dir, "sigs")
+    for d, (_, compacted, olds, final) in stats:
+        if compacted and os.path.commonpath([d, sig_root]) == sig_root:
+            rel = os.path.relpath(d, index_dir)
+            ledger -= {os.path.join(rel, o) for o in olds}
+            ledger.add(os.path.join(rel, final))
+    tmp = _ledger_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(ledger), f)
+    os.replace(tmp, _ledger_path(index_dir))
     return {"shards": len(dirs),
-            "compacted": sum(c for _, c in stats),
-            "files_before": sum(n for n, _ in stats)}
+            "compacted": sum(c for _, (_, c, _, _) in stats),
+            "files_before": sum(n for _, (n, _, _, _) in stats)}
 
 
 def _shard_dirs(base: str, col: str, touched) -> list[str]:
@@ -425,22 +494,34 @@ def query_lsh_index(index_dir: str, increment: ray.data.Dataset, *,
 
     Self-pairs (an increment doc already appended to the index under the
     same id) are excluded. ``_staged`` (internal, see ``check_and_append``)
-    supplies an already-staged signature table to avoid re-shingling."""
+    supplies an already-staged signature table to avoid re-shingling and
+    signals that meta-load + recovery already ran."""
     from ethereum_etl_ray.stages.joins import cogroup_join, semi_anti_filter
 
     meta = _load_meta(index_dir)
-    _recover_index(index_dir)
+    if _staged is None:
+        _recover_index(index_dir)  # check_and_append already recovered
     num_perm, bands, shards = meta["num_perm"], meta["bands"], meta["shards"]
     inc = _staged if _staged is not None else _stage_increment(
         increment, meta, id_col, text_col)
     # ids may be integer or string — derive the type once, from the
-    # increment's own signature table (build wrote the same native type);
-    # a zero-row increment has no schema → typed-empty result immediately
+    # increment's own signature table (build wrote the same native type).
+    # A zero-row increment → typed-empty result immediately, keeping the id
+    # type when the schema survived (source id type if even that is gone —
+    # per-increment artifacts must stay schema-consistent across windows)
     sch = inc.schema()
     if sch is None or inc.count() == 0:
+        id_t = pa.string()
+        src_sch = sch if sch is not None else increment.schema()
+        if src_sch is not None:
+            by_name = dict(zip(src_sch.names, src_sch.types))
+            id_t = by_name.get("doc", by_name.get(
+                id_col or meta["id_col"], pa.string()))
+            if pa.types.is_integer(id_t):
+                id_t = pa.int64()
         return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.string()),
-            "dup_id": pa.array([], pa.string()),
+            "doc_id": pa.array([], id_t),
+            "dup_id": pa.array([], id_t),
             "est_jaccard_ppm": pa.array([], pa.int64())}))
     id_t = dict(zip(sch.names, sch.types))["doc"]
 

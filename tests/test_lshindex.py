@@ -393,6 +393,14 @@ def test_append_band_table_grows_by_increment_only(tmp_path):
         [{"doc_id": 101, "text": "another appended document arrives"}]))
     assert band_rows() == 21 * PARAMS["bands"]
 
+    # compaction must update the band LEDGER (old sig file names → the
+    # compacted one) so the next append doesn't re-explode whole shards
+    from ethereum_etl_ray.pipelines.lshindex import compact_lsh_index
+    compact_lsh_index(idx)
+    append_lsh_index(idx, ray.data.from_items(
+        [{"doc_id": 102, "text": "post compaction appended document"}]))
+    assert band_rows() == 22 * PARAMS["bands"]
+
 
 def test_query_empty_increment_returns_typed_empty(built):
     """A zero-row increment (e.g. `dedup-index query --docs empty.parquet`)
@@ -401,9 +409,12 @@ def test_query_empty_increment_returns_typed_empty(built):
     empty = ray.data.from_arrow(pa.table({
         "doc_id": pa.array([], pa.int64()),
         "text": pa.array([], pa.string())}))
-    out = (query_lsh_index(index_dir, empty, threshold=0.5).to_pandas()
-           .reindex(columns=["doc_id", "dup_id", "est_jaccard_ppm"]))
-    assert len(out) == 0
+    res = query_lsh_index(index_dir, empty, threshold=0.5)
+    sch = res.schema()
+    # the id type must survive (int64 index) so per-window pair artifacts
+    # stay schema-consistent
+    assert dict(zip(sch.names, sch.types))["doc_id"] == pa.int64()
+    assert res.count() == 0
 
 
 def test_check_and_append_single_staging_pass(tmp_path):
@@ -430,3 +441,45 @@ def test_check_and_append_single_staging_pass(tmp_path):
     later = query_lsh_index(idx, ray.data.from_items(
         [{"doc_id": 20, "text": base_txt}]), threshold=0.5).to_pandas()
     assert {1, 10, 11} <= set(later.dup_id)
+
+
+def test_orphaned_sig_files_self_heal(tmp_path):
+    """A crash between a sigs write and the band derivation leaves sig
+    files with no band rows; the ledger makes the NEXT index write derive
+    them, so the docs become searchable without caller intervention."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from ethereum_etl_ray.pipelines.lshindex import (
+        _derive_pending_bands,
+        _load_meta,
+        _stage_increment,
+    )
+
+    idx = str(tmp_path / "healidx")
+    build_lsh_index(ray.data.from_items(
+        [{"doc_id": 1, "text": "base corpus document with several words"}]),
+        idx, **PARAMS)
+    meta = _load_meta(idx)
+
+    # simulate the crash: write a sig file directly, NO band derivation
+    orphan_txt = ("orphaned document whose bands were never derived due to "
+                  "a crash between the two writes")
+    staged = _stage_increment(ray.data.from_items(
+        [{"doc_id": 7, "text": orphan_txt}]), meta, None, None)
+    staged.write_parquet(os.path.join(idx, "sigs"),
+                         partition_cols=["sig_shard"])
+    # invisible now: a copy of the orphan finds nothing
+    probe = ray.data.from_items([{"doc_id": 99, "text": orphan_txt}])
+    assert query_lsh_index(idx, probe, threshold=0.5).count() == 0
+
+    # ANY subsequent index write heals it (append of an unrelated doc)
+    append_lsh_index(idx, ray.data.from_items(
+        [{"doc_id": 8, "text": "unrelated filler appended later on"}]))
+    got = query_lsh_index(idx, probe, threshold=0.5).to_pandas()
+    assert ((got.doc_id == 99) & (got.dup_id == 7)
+            & (got.est_jaccard_ppm == 1_000_000)).any()
+    # explicit heal API is also idempotent
+    assert _derive_pending_bands(idx, meta) == 0
