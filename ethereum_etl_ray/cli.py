@@ -376,6 +376,30 @@ def cmd_diff(args):
     print(json.dumps(summary))
 
 
+def cmd_replicate(args):
+    """Sync a follower lake to a leader (incremental, checksum-skipped,
+    exactly-once on the follower); ``--verify``/``--deep`` run the
+    convergence check afterwards."""
+    _ray_up(args.num_cpus)
+    from ethereum_etl_ray.pipelines.replicate import replica_verify, replicate
+
+    r = replicate(args.src, args.dst, generation=args.generation)
+    summary = {"src": args.src, "dst": args.dst,
+               "watermark": r.manifest.watermark,
+               "copied": r.copied, "skipped": r.skipped,
+               "generation": r.manifest.generation}
+    if args.verify or args.deep:
+        rep = replica_verify(args.src, args.dst, deep=args.deep)
+        summary["in_sync"] = rep["in_sync"]
+        summary["mismatched"] = rep["mismatched"]
+        if args.deep:
+            summary["deep_corrupt"] = rep["deep_corrupt"]
+    print(json.dumps(summary))
+    if args.verify or args.deep:
+        if not summary["in_sync"]:
+            sys.exit(2)
+
+
 def cmd_retention(args):
     _ray_up(args.num_cpus)
     from ethereum_etl_ray.pipelines.retention import apply_retention
@@ -598,6 +622,20 @@ def main(argv=None):
     sp.add_argument("--dest", default=None,
                     help="write full diff rows as parquet instead of printing counts")
     sp.set_defaults(fn=cmd_diff)
+
+    sp = sub.add_parser("replicate",
+                        help="sync a follower lake to a leader "
+                             "(incremental, checksum-skipped)")
+    sp.add_argument("--src", required=True, help="leader lake directory")
+    sp.add_argument("--dst", required=True, help="follower lake directory")
+    sp.add_argument("--generation", type=int, default=None,
+                    help="replicate a retained leader generation "
+                         "(point-in-time replica)")
+    sp.add_argument("--verify", action="store_true",
+                    help="lineage convergence check after the sync")
+    sp.add_argument("--deep", action="store_true",
+                    help="also re-read follower files against leader checksums")
+    sp.set_defaults(fn=cmd_replicate)
 
     sp = sub.add_parser("retention", help="evict oldest rows (reference A8 free_space)")
     sp.add_argument("--out", required=True)

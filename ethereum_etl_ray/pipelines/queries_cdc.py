@@ -619,6 +619,32 @@ def q_cdc_replay_ignore(sf_dir: str):
     return _lake_result(out)
 
 
+def q_cdc_replicate(sf_dir: str):
+    """Leader→follower replication: full replay builds the leader, an
+    incremental sync in two leader steps ships only changed partitions
+    (manifest checksum skip), and the FOLLOWER's content is returned — it
+    must equal the leader's replay result exactly (same rows as
+    ``cdc_replay_full``; convergence and crash behaviour pytest-oracled in
+    tests/test_replicate.py)."""
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.replicate import replica_verify, replicate
+    from ethereum_etl_ray.pipelines.replay import replay
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    src = _cdc_out_dir(sf_dir, "repl_leader")
+    dst = _cdc_out_dir(sf_dir, "repl_follower")
+    cfg = EngineConfig(num_partitions=32)
+    wm = corpus.watermark
+    replay(corpus, src, cfg, watermark=wm // 2)
+    replicate(src, dst)            # initial sync at the mid watermark
+    replay(corpus, src, cfg)       # leader advances
+    replicate(src, dst)            # incremental: changed partitions only
+    if not replica_verify(src, dst)["in_sync"]:
+        raise RuntimeError("replica failed to converge to the leader")
+    return _lake_result(dst)
+
+
 def q_cdc_resume_tail(sf_dir: str):
     """Tail-mode replay: three bounded windows from the committed watermark
     (reference realtime_ws tailer analogue) — must equal the one-shot result."""
@@ -805,6 +831,7 @@ QUERIES = {
     "cdc_replay_full": q_cdc_replay_full,
     "cdc_replay_ignore": q_cdc_replay_ignore,
     "cdc_resume_tail": q_cdc_resume_tail,
+    "cdc_replicate": q_cdc_replicate,
     "cdc_bulk_load": q_cdc_bulk_load,
     "lake_diff": q_lake_diff,
     "incremental_lang_counts": q_incremental_lang_counts,

@@ -212,6 +212,18 @@ m2 = make_training_shards(docs4, sh_dir, shards=4, tokens_per_seq=256)
 assert m1 == m2 and m1["docs"] > 0 and len(m1["per_shard"]) == 4
 print(f"OK training shards: {m1['docs']} docs, {m1['sequences']} sequences, idempotent restart")
 
+# leader→follower replication (round 5): full sync then checksum-skipped
+# incremental re-run; follower must match the leader byte-identically
+from ethereum_etl_ray.pipelines.replicate import replica_verify, replicate
+R1 = "/tmp/verify_replica"
+shutil.rmtree(R1, ignore_errors=True)
+rr = replicate(L1, R1)
+assert rr.copied > 0 and replica_verify(L1, R1, deep=True)["in_sync"]
+rr2 = replicate(L1, R1)                      # no leader change → no reads
+assert rr2.copied == 0
+check_lake(R1, "replica of L1")
+print(f"OK replication: {rr.copied} partitions shipped, idempotent re-sync")
+
 print("VERIFY PASS")
 ray.shutdown()
 

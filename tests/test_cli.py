@@ -212,3 +212,18 @@ def test_cli_shards(tmp_path):
     manifest = json.loads(r.stdout.strip().splitlines()[-1])
     assert manifest["shards"] == 2 and manifest["docs"] == 20
     assert len(glob.glob(dest + "/shard=*/*.parquet")) >= 2
+
+
+def test_cli_replicate_sync_and_verify(capsys, cli_lake, tmp_path):
+    dst = str(tmp_path / "replica")
+    got = _run(capsys, ["replicate", "--src", cli_lake, "--dst", dst,
+                        "--deep"])
+    assert got["copied"] > 0 and got["skipped"] == 0
+    assert got["in_sync"] and not got["mismatched"] and not got["deep_corrupt"]
+    lake = load_lake(cli_lake).to_pandas()
+    rep = load_lake(dst).to_pandas()
+    assert dict(zip(rep.url, rep.text)) == dict(zip(lake.url, lake.text))
+    # idempotent re-run ships nothing
+    again = _run(capsys, ["replicate", "--src", cli_lake, "--dst", dst,
+                          "--verify"])
+    assert again["copied"] == 0 and again["in_sync"]
