@@ -48,10 +48,16 @@ def cmd_replay(args):
 
     corpus = ensure_corpus(args.sf_dir, events_per_doc=args.events_per_doc)
     cfg = EngineConfig(num_partitions=args.partitions, merge_mode=args.mode)
-    res = replay(corpus, args.out, cfg, watermark=args.watermark)
+    if args.mor:
+        from ethereum_etl_ray.pipelines.mor import ingest_delta
+
+        res = ingest_delta(corpus, args.out, cfg, watermark=args.watermark)
+    else:
+        res = replay(corpus, args.out, cfg, watermark=args.watermark)
     print(json.dumps({"out": args.out, "watermark": res.manifest.watermark,
                       "merged_partitions": res.merged_partitions,
-                      "skipped_partitions": res.skipped_partitions}))
+                      "skipped_partitions": res.skipped_partitions,
+                      "mor": bool(args.mor)}))
 
 
 def cmd_tail(args):
@@ -213,7 +219,15 @@ def cmd_tail(args):
             n_late_total += n_late
             if late_seqs.size:
                 cfg_round = _dc_replace(cfg, exclude_seqs=late_seqs)
-        res = replay(corpus, args.out, cfg_round, watermark=wm)
+        if getattr(args, "mor", False):
+            # merge-on-read: the window lands as per-partition delta files,
+            # O(window) per round instead of O(touched partitions' size);
+            # --compact-every bounds read amplification
+            from ethereum_etl_ray.pipelines.mor import ingest_delta
+
+            res = ingest_delta(corpus, args.out, cfg_round, watermark=wm)
+        else:
+            res = replay(corpus, args.out, cfg_round, watermark=wm)
         if lateness is not None:
             # persist the carry only AFTER the round commits: a crash then
             # replays the window against the same carry-in (idempotent)
@@ -228,6 +242,11 @@ def cmd_tail(args):
                                           had_state=had_state0)
             indexed_wm = wm
         rounds += 1
+        if getattr(args, "mor", False) and args.compact_every \
+                and rounds % args.compact_every == 0:
+            from ethereum_etl_ray.pipelines.mor import compact_deltas
+
+            compact_deltas(args.out)
         print(json.dumps({"round": rounds, "watermark": wm,
                           "merged_partitions": res.merged_partitions}), file=sys.stderr)
     out = {"out": args.out, "rounds": rounds, "watermark": wm}
@@ -257,6 +276,8 @@ def cmd_inspect(args):
         "merge_mode": m.merge_mode,
         "partitions": len(m.partitions),
         "rows": total,
+        "pending_delta_files": sum(len(v) for v in m.deltas.values()),
+        "pending_delta_rows": sum(e.rows for v in m.deltas.values() for e in v),
         "generation": m.generation,
         "generations": [{"generation": g, "watermark": wm}
                         for g, wm in list_generations(args.out)],
@@ -272,6 +293,12 @@ def cmd_compact(args):
     """GC orphans; with ``--rewrite``, also rewrite live partition files with
     uniform row groups (reference backup/drop lifecycle,
     src/repositories/sqlite/base.py:81-136)."""
+    if getattr(args, "deltas", False):
+        _ray_up(args.num_cpus)
+        from ethereum_etl_ray.pipelines.mor import compact_deltas
+
+        print(json.dumps(compact_deltas(args.out)))
+        return
     if args.rewrite or args.cluster:
         _ray_up(args.num_cpus)
         from ethereum_etl_ray.pipelines.retention import compact_lake
@@ -561,9 +588,17 @@ def main(argv=None):
         sp.add_argument("--out", required=True)
         sp.add_argument("--partitions", type=int, default=32)
         sp.add_argument("--mode", choices=["replace", "ignore"], default="replace")
+        sp.add_argument("--mor", action="store_true",
+                        help="merge-on-read ingest: commit the window as "
+                             "per-partition delta files (no base rewrite); "
+                             "reads merge at scan time, `compact --deltas` "
+                             "folds them in")
         if name == "replay":
             sp.add_argument("--watermark", type=int, default=None)
         else:
+            sp.add_argument("--compact-every", type=int, default=0,
+                            help="with --mor: fold pending deltas into the "
+                                 "base every N windows (0 = never)")
             sp.add_argument("--window", type=int, default=2000)
             sp.add_argument("--allowed-lateness-us", type=int, default=None,
                             help="watermark semantics: events whose warc_ts "
@@ -586,6 +621,9 @@ def main(argv=None):
             sp.add_argument("--cluster", action="store_true",
                             help="also sort each partition file by url so "
                                  "point reads prune to one row group")
+            sp.add_argument("--deltas", action="store_true",
+                            help="fold pending merge-on-read delta files "
+                                 "into the base partition files")
             sp.add_argument("--row-group-rows", type=int, default=65536)
         sp.set_defaults(fn=fn)
 

@@ -107,6 +107,12 @@ def lake_diff(out_dir: str, gen_a: int, gen_b: int,
     value_cols = list(value_cols or [])
     ma = load_generation_manifest(out_dir, gen_a)
     mb = load_generation_manifest(out_dir, gen_b)
+    from ethereum_etl_ray.pipelines.mor import require_no_deltas
+
+    # the per-partition key readers below consume BASE files only — a
+    # generation with pending merge-on-read deltas would diff stale state
+    require_no_deltas(ma, f"lake_diff (generation {gen_a})")
+    require_no_deltas(mb, f"lake_diff (generation {gen_b})")
 
     if ma.num_partitions == mb.num_partitions:
         parts = sorted(set(ma.partitions) | set(mb.partitions), key=int)

@@ -645,6 +645,28 @@ def q_cdc_replicate(sf_dir: str):
     return _lake_result(dst)
 
 
+def q_cdc_mor_ingest(sf_dir: str):
+    """Merge-on-read ingest (Hudi-MOR / Iceberg-v2 shape of the reference's
+    upsert, src/repositories/sqlite/base.py:152-175): three delta windows —
+    the base files are never rewritten — with a delta compaction after the
+    first, then the scan-time-merged lake. Must equal ``cdc_replay_full``'s
+    copy-on-write result (byte-identical per url; pinned in
+    tests/test_mor.py)."""
+    from ethereum_etl_ray.config import EngineConfig
+    from ethereum_etl_ray.pipelines.mor import compact_deltas, ingest_delta
+    from ethereum_etl_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    out = _cdc_out_dir(sf_dir, "mor")
+    cfg = EngineConfig(num_partitions=32)
+    wm = corpus.watermark
+    for i, w in enumerate((wm // 3, (2 * wm) // 3, wm)):
+        ingest_delta(corpus, out, cfg, watermark=w)
+        if i == 0:
+            compact_deltas(out)  # exercise both the folded and pending paths
+    return _lake_result(out)
+
+
 def q_cdc_resume_tail(sf_dir: str):
     """Tail-mode replay: three bounded windows from the committed watermark
     (reference realtime_ws tailer analogue) — must equal the one-shot result."""
@@ -831,6 +853,7 @@ QUERIES = {
     "cdc_replay_full": q_cdc_replay_full,
     "cdc_replay_ignore": q_cdc_replay_ignore,
     "cdc_resume_tail": q_cdc_resume_tail,
+    "cdc_mor_ingest": q_cdc_mor_ingest,
     "cdc_replicate": q_cdc_replicate,
     "cdc_bulk_load": q_cdc_bulk_load,
     "lake_diff": q_lake_diff,

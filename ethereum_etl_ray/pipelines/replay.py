@@ -183,6 +183,12 @@ def _replay_with_lock(corpus, out_dir, cfg, target_wm, t_start) -> ReplayResult:
     if prior is not None and prior.watermark >= target_wm:
         return ReplayResult(out_dir, prior, 0, len(prior.partitions))
     if prior is not None:
+        # copy-on-write over pending merge-on-read deltas is unsafe: this
+        # merge drops tombstones that may still have to shadow older delta
+        # rows at read time (resurrection) — fold the deltas in first
+        from ethereum_etl_ray.pipelines.mor import require_no_deltas
+
+        require_no_deltas(prior, "copy-on-write replay")
         # partition layout and merge mode are fixed at lake creation: resuming
         # with a different hash fan-out would route a url's new events to a
         # different partition than its committed row, duplicating keys; a mode
@@ -798,6 +804,12 @@ def load_lake(out_dir: str, generation: int | None = None) -> ray.data.Dataset:
         m = load_manifest(out_dir)
     if m is None:
         raise FileNotFoundError(f"no committed manifest in {out_dir}")
+    if m.has_deltas():
+        # merge-on-read lake: scan-time merge of base ∪ pending delta files
+        # (delta-free partitions still stream straight from their base file)
+        from ethereum_etl_ray.pipelines.mor import merged_lake
+
+        return merged_lake(out_dir, m)
     files = m.files(out_dir)
     if not files:
         return ray.data.from_items([])
@@ -831,6 +843,10 @@ def lookup_urls(out_dir: str, urls: list[str]) -> pa.Table:
     of the request, never O(lake)), with a parquet-level url filter so row
     groups that can't match are skipped too. Urls with no current row are
     simply absent from the result (tombstoned or never written).
+
+    Delta-aware: on a merge-on-read lake the partition's pending delta files
+    are read (same url filter) and merged with the base rows at lookup time
+    — still O(request partitions' files), never O(lake).
     """
     m = load_manifest(out_dir)
     if m is None:
@@ -838,11 +854,40 @@ def lookup_urls(out_dir: str, urls: list[str]) -> pa.Table:
     from ethereum_etl_ray.schemas import PAGES_SCHEMA
 
     cols = list(PAGES_SCHEMA.names)
+    by_part: dict[int, list[str]] = {}
+    for url, pid in zip(urls, partition_ids(list(urls), m.num_partitions)):
+        by_part.setdefault(int(pid), []).append(url)
     pieces = []
-    for file, wanted in sorted(files_for_urls(m, list(urls)).items()):
-        t = pq.read_table(os.path.join(out_dir, file), columns=cols,
-                          filters=[("url", "in", sorted(set(wanted)))])
-        pieces.append(t)
+    for part, wanted in sorted(by_part.items()):
+        want = sorted(set(wanted))
+        e = m.entry(part)
+        base = None
+        if e is not None and e.rows > 0:
+            base = pq.read_table(os.path.join(out_dir, e.file), columns=cols,
+                                 filters=[("url", "in", want)])
+        des = [d for d in m.delta_entries(part) if d.rows > 0]
+        if not des:
+            if base is not None:
+                pieces.append(base)
+            continue
+        from ethereum_etl_ray.pipelines.mor import DELTA_SCHEMA
+        from ethereum_etl_ray.stages.merge import lww_pick
+
+        frames = []
+        if base is not None:
+            frames.append(base.append_column(
+                "op", pa.array(np.full(base.num_rows, "insert"), pa.string())
+            ).cast(DELTA_SCHEMA))
+        for d in des:
+            frames.append(pq.read_table(os.path.join(out_dir, d.file),
+                                        filters=[("url", "in", want)])
+                          .cast(DELTA_SCHEMA))
+        merged = (frames[0] if len(frames) == 1
+                  else pa.concat_tables(frames, promote_options="none"))
+        winners = lww_pick(merged, mode=m.merge_mode)
+        alive = winners.filter(
+            pc.not_equal(winners.column("op"), pa.scalar("delete")))
+        pieces.append(alive.select(cols))
     if not pieces:
         return PAGES_SCHEMA.empty_table()
     return pa.concat_tables(pieces)

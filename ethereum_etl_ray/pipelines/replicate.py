@@ -99,6 +99,9 @@ def replicate(src_dir: str, dst_dir: str, *,
               else load_manifest(src_dir))
     if leader is None:
         raise FileNotFoundError(f"no committed manifest in {src_dir}")
+    from ethereum_etl_ray.pipelines.mor import require_no_deltas
+
+    require_no_deltas(leader, "replicate (leader)")
 
     lock = acquire_replay_lock(dst_dir)
     try:
@@ -184,6 +187,9 @@ def replica_verify(src_dir: str, dst_dir: str, *, deep: bool = False) -> dict:
     follower = load_manifest(dst_dir)
     if leader is None:
         raise FileNotFoundError(f"no committed manifest in {src_dir}")
+    from ethereum_etl_ray.pipelines.mor import require_no_deltas
+
+    require_no_deltas(leader, "replica_verify (leader)")
     rep: dict = {
         "watermark_src": leader.watermark,
         "watermark_dst": follower.watermark if follower else None,

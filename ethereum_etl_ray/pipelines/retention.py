@@ -230,6 +230,9 @@ def compact_lake(out_dir: str, row_group_rows: int = 65536,
         manifest = load_manifest(out_dir)
         if manifest is None:
             raise FileNotFoundError(f"no committed manifest in {out_dir}")
+        from ethereum_etl_ray.pipelines.mor import require_no_deltas
+
+        require_no_deltas(manifest, "compact_lake")
         return _compact_locked(out_dir, manifest, row_group_rows, gc_uncommitted,
                                cluster_by_url)
     finally:
@@ -294,6 +297,9 @@ def apply_retention(out_dir: str, keep_ratio: float = 0.9) -> dict:
         manifest = load_manifest(out_dir)
         if manifest is None:
             raise FileNotFoundError(f"no committed manifest in {out_dir}")
+        from ethereum_etl_ray.pipelines.mor import require_no_deltas
+
+        require_no_deltas(manifest, "apply_retention")
         return _apply_retention_locked(out_dir, manifest, keep_ratio)
     finally:
         release_replay_lock(lock)
@@ -382,6 +388,9 @@ def delete_where(out_dir: str, column: str, op: str, value) -> dict:
         manifest = load_manifest(out_dir)  # snapshot under the lock
         if manifest is None:
             raise FileNotFoundError(f"no committed manifest in {out_dir}")
+        from ethereum_etl_ray.pipelines.mor import require_no_deltas
+
+        require_no_deltas(manifest, "delete_where")
         wm = manifest.watermark
         tag = hashlib.sha1(f"{column}|{op}|{value!r}".encode()).hexdigest()[:8]
         entries = [(int(p), e) for p, e in manifest.partitions.items()
@@ -449,15 +458,19 @@ def fsck_lake(out_dir: str, generation: int | None = None) -> dict:
                 else load_manifest(out_dir))
     if manifest is None:
         raise FileNotFoundError(f"no committed manifest in {out_dir}")
+    # scrub units: base partition files plus any pending merge-on-read delta
+    # files — each carries the same (rows, content checksum) lineage
     entries = [(int(p), e) for p, e in manifest.partitions.items() if e.rows > 0]
+    entries += [(int(p), d) for p, ds in manifest.deltas.items()
+                for d in ds if d.rows > 0]
     if not entries:
         return {"checked": 0, "corrupt": []}
-    by_part = dict(entries)
+    by_idx = dict(enumerate(entries))
 
     def scrub(batch: pa.Table) -> pa.Table:
         out = []
-        for part in batch.column("part").to_pylist():
-            entry = by_part[part]
+        for i in batch.column("i").to_pylist():
+            part, entry = by_idx[i]
             path = os.path.join(out_dir, entry.file)
             try:
                 t = pq.read_table(path)
@@ -473,7 +486,7 @@ def fsck_lake(out_dir: str, generation: int | None = None) -> dict:
                         "ok": rows == entry.rows and checksum == entry.checksum})
         return pa.Table.from_pylist(out)
 
-    stats = (ray.data.from_items([{"part": p} for p, _ in entries])
+    stats = (ray.data.from_items([{"i": i} for i in by_idx])
              .map_batches(scrub, batch_size=1, batch_format="pyarrow")
              .to_pandas())
     corrupt = stats[~stats.ok].drop(columns="ok").to_dict("records")

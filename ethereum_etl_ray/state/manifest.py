@@ -37,6 +37,17 @@ class PartitionEntry:
 
 
 @dataclass
+class DeltaEntry:
+    """One merge-on-read delta file: a window's per-key winners (tombstones
+    kept as ``op='delete'`` rows) for one partition, committed by
+    ``pipelines.mor.ingest_delta`` without rewriting the base file."""
+    file: str            # path relative to out_dir
+    rows: int
+    checksum: str        # uint64 content checksum as decimal string
+    watermark: int       # max seq folded into this delta file
+
+
+@dataclass
 class Manifest:
     watermark: int = -1
     schema_version: int = 1
@@ -51,12 +62,28 @@ class Manifest:
     # on disk as manifest-g*.json and restorable (reference backup/restore,
     # src/repositories/sqlite/base.py:81-136)
     generation: int = 0
+    # merge-on-read delta files per partition (str(part) → entries in commit
+    # order). Non-empty deltas mean the BASE files alone are stale: readers
+    # must go through ``pipelines.mor`` / ``load_lake`` (delta-aware), and
+    # base-rewriting writers (replay/retention/delete/compact/replicate)
+    # refuse until ``compact_deltas`` folds them in.
+    deltas: dict[str, list[DeltaEntry]] = field(default_factory=dict)
 
     def entry(self, part: int) -> PartitionEntry | None:
         return self.partitions.get(str(part))
 
     def files(self, out_dir: str) -> list[str]:
         return [os.path.join(out_dir, e.file) for e in self.partitions.values() if e.rows > 0]
+
+    def delta_entries(self, part: int) -> list[DeltaEntry]:
+        return self.deltas.get(str(part), [])
+
+    def delta_files(self, out_dir: str) -> list[str]:
+        return [os.path.join(out_dir, e.file)
+                for es in self.deltas.values() for e in es if e.rows > 0]
+
+    def has_deltas(self) -> bool:
+        return any(es for es in self.deltas.values())
 
 
 MANIFEST_NAME = "_manifest.json"
@@ -69,7 +96,9 @@ def _load_manifest_file(path: str) -> Manifest | None:
         return None
     raw = json.load(open(path))
     parts = {k: PartitionEntry(**v) for k, v in raw.pop("partitions", {}).items()}
-    return Manifest(partitions=parts, **raw)
+    deltas = {k: [DeltaEntry(**d) for d in v]
+              for k, v in raw.pop("deltas", {}).items()}
+    return Manifest(partitions=parts, deltas=deltas, **raw)
 
 
 def load_manifest(out_dir: str) -> Manifest | None:
@@ -134,7 +163,8 @@ def manifest_at(out_dir: str, generation: int) -> Manifest:
         raise FileNotFoundError(
             f"no retained generation {generation} in {out_dir} "
             f"(retained: {list_generations(out_dir)})")
-    missing = [p for p in m.files(out_dir) if not os.path.exists(p)]
+    missing = [p for p in m.files(out_dir) + m.delta_files(out_dir)
+               if not os.path.exists(p)]
     if missing:
         raise RuntimeError(
             f"generation {generation} references {len(missing)} missing "
@@ -165,7 +195,8 @@ def restore_generation(out_dir: str, watermark: int | None = None,
                 f"{'watermark ' + str(watermark) if generation is None else 'generation ' + str(generation)} "
                 f"in {out_dir} (retained: {list_generations(out_dir)})")
         m = _load_manifest_file(_gen_path(out_dir, max(cand)))
-        missing = [p for p in m.files(out_dir) if not os.path.exists(p)]
+        missing = [p for p in m.files(out_dir) + m.delta_files(out_dir)
+                   if not os.path.exists(p)]
         if missing:
             raise RuntimeError(
                 f"generation {max(cand)} references {len(missing)} missing "
@@ -297,6 +328,7 @@ def gc_uncommitted(out_dir: str) -> list[str]:
     for m in manifests:
         if m is not None:
             keep.update(os.path.abspath(p) for p in m.files(out_dir))
+            keep.update(os.path.abspath(p) for p in m.delta_files(out_dir))
     removed = []
     for dirpath, _dirs, names in os.walk(out_dir):
         for n in names:

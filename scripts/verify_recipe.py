@@ -224,6 +224,30 @@ assert rr2.copied == 0
 check_lake(R1, "replica of L1")
 print(f"OK replication: {rr.copied} partitions shipped, idempotent re-sync")
 
+# merge-on-read ingest (round 5): two delta windows (no base rewrite), the
+# scan-time-merged view must equal the copy-on-write oracle byte-identically,
+# base-rewriting ops must refuse while deltas are pending, and a compaction
+# folds them in with the view unchanged
+from ethereum_etl_ray.pipelines.mor import compact_deltas, ingest_delta
+from ethereum_etl_ray.state.manifest import load_manifest
+M1 = "/tmp/verify_mor"
+shutil.rmtree(M1, ignore_errors=True)
+ingest_delta(c, M1, EngineConfig(num_partitions=16), watermark=c.watermark // 2)
+try:
+    # advancing the watermark copy-on-write over pending deltas must refuse
+    # (replay at or below the committed watermark is an idempotent no-op)
+    replay(c, M1, EngineConfig(num_partitions=16))
+    raise AssertionError("COW replay over pending deltas must refuse")
+except ValueError as e:
+    assert "compact" in str(e)
+ingest_delta(c, M1, EngineConfig(num_partitions=16))
+assert load_manifest(M1).has_deltas()
+check_lake(M1, "merge-on-read scan-time merge (deltas pending)")
+comp = compact_deltas(M1)
+assert comp["compacted_partitions"] > 0 and not load_manifest(M1).has_deltas()
+check_lake(M1, "merge-on-read after delta compaction")
+print(f"OK merge-on-read: {comp['compacted_partitions']} partitions compacted")
+
 print("VERIFY PASS")
 ray.shutdown()
 
