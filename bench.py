@@ -254,6 +254,17 @@ def run_once(include_queries: bool) -> dict:
                 result["scaling_recorded"] = json.load(f)
         except (OSError, ValueError):
             pass
+    # likewise the recorded merge-on-read vs copy-on-write tail draw
+    # (committed as mor_tail_latest.json; the 8-window comparison is too
+    # expensive to re-run inside every bench draw)
+    _mor = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "mor_tail_latest.json")
+    if include_queries and os.path.isfile(_mor):
+        try:
+            with open(_mor) as f:
+                result["mor_tail_recorded"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     # large-corpus soak (VERDICT r3 #8): 5× the default event count so a
     # scale regression can't hide behind the small corpus. Cached corpus,
     # min-of-2, same workload shape as the headline. BENCH_SOAK=0 skips.
